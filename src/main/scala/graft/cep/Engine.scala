@@ -1,0 +1,342 @@
+package graft.cep
+
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Per-key incremental CEP evaluator over one or more compiled patterns.
+ *
+ * Semantics mirror the reference's tree-based evaluation
+ * (/root/reference/tree/evaluation/TreeBasedEvaluationMechanism.py:68-106): each event is
+ * played on the leaves listening to its type; partial matches propagate up through join
+ * nodes that probe the sibling buffer; negation nodes invert the flow; Kleene nodes emit
+ * every buffered subset containing the newest child match. Events MUST be fed in
+ * (ts, idx) order — the Spark operators guarantee this by sorting each key group (batch)
+ * or each watermark-complete prefix (streaming).
+ *
+ * Deliberately pure Scala with no Spark dependency: the same engine instance backs the
+ * batch evaluator (flatMapGroups), the streaming evaluator (flatMapGroupsWithState,
+ * via snapshot/restore), and unit tests.
+ */
+final class MatchEngine(patterns: IndexedSeq[CompiledPattern]) extends Serializable {
+
+  private val out = ArrayBuffer.empty[CepMatch]
+  private val rts = patterns.map(new PatternRuntime(_, out))
+  private val allTypes: Set[String] = patterns.iterator.flatMap(_.relevantTypes).toSet
+
+  /** Feed one event (in (ts, idx) order); returns matches completed by this event. */
+  def feed(e: Ev): Seq[CepMatch] = {
+    if (allTypes.contains(e.etype)) rts.foreach(_.feed(e))
+    drain()
+  }
+
+  /** Event-time advance: release pending unbounded-negation matches whose window has
+    * passed (firstTs < ts - window), mirroring the reference's expiration-driven flush
+    * (/root/reference/tree/nodes/NegationNode.py:69-87). */
+  def advance(ts: Long): Seq[CepMatch] = { rts.foreach(_.advance(ts)); drain() }
+
+  /** End-of-stream: flush all pending matches (/root/reference/tree/Tree.py:224-238). */
+  def finish(): Seq[CepMatch] = { rts.foreach(_.finish()); drain() }
+
+  private def drain(): Seq[CepMatch] = {
+    if (out.isEmpty) Nil
+    else { val r = out.toVector; out.clear(); r }
+  }
+
+  def snapshot(): EngineState = EngineState(rts.map(_.snapshot()))
+  def restore(s: EngineState): Unit = rts.lazyZip(s.runtimes).foreach(_.restore(_))
+}
+
+/** Serializable state snapshot for streaming checkpoint/restore. */
+final case class EngineState(runtimes: Seq[RuntimeState]) extends Serializable
+final case class RuntimeState(
+    bufs: Seq[Seq[PM]],          // by node id
+    pending: Seq[PM],
+    filtered: Seq[(Int, Seq[FilteredEv])],
+    freezers: Seq[(String, Ev)]) extends Serializable
+final case class FilteredEv(idx: Long, minTs: Long) extends Serializable
+
+/** Runtime evaluation state for one compiled pattern over one key. */
+final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch]) extends Serializable {
+  import cp._
+
+  private val n = nodes.length
+  private val bufs: Array[ArrayBuffer[PM]] = Array.fill(n)(ArrayBuffer.empty[PM])
+  private val pending = ArrayBuffer.empty[PM] // parked at firstUnboundedId
+  /** nodeId -> already-reported events under single/next policy, with minTs for expiry
+    * (/root/reference/tree/nodes/Node.py:133-160). */
+  private val filtered: mutable.Map[Int, mutable.LinkedHashMap[Long, Long]] =
+    mutable.Map.empty
+  private var freezers: List[(String, Ev)] = Nil
+
+  // ---- event intake ------------------------------------------------------------------
+
+  def feed(e: Ev): Unit = {
+    if (freezeMap.nonEmpty)
+      freezers = freezers.filter { case (_, f) => e.ts - f.ts <= windowMicros }
+    cp.leavesByType.get(e.etype).foreach { leaves =>
+      leaves.foreach { leaf =>
+        if (!frozen(leaf.name)) {
+          expire(leaf.id, e.ts)
+          val bind = Bind(leaf.slot, leaf.name, List(e))
+          if (evalConds(nodeConds.getOrElse(leaf.id, Nil), Vector(bind)))
+            propagate(leaf.id, PM(Vector(bind), e.prob), skipPark = false)
+          if (freezeMap.contains(leaf.name)) freezers ::= (leaf.name, e)
+        }
+      }
+    }
+  }
+
+  def advance(ts: Long): Unit = release(ts - windowMicros)
+  def finish(): Unit = release(Long.MaxValue)
+
+  private def release(beforeTs: Long): Unit = {
+    if (firstUnboundedId < 0 || pending.isEmpty) return
+    val (toFlush, keep) = pending.sortBy(_.firstTs).partition(_.firstTs < beforeTs)
+    pending.clear(); pending ++= keep
+    toFlush.foreach(pm => propagate(firstUnboundedId, pm, skipPark = true))
+  }
+
+  private def frozen(leafName: String): Boolean =
+    freezers.exists { case (fname, _) => freezeMap.get(fname).exists(_.contains(leafName)) }
+
+  // ---- propagation -------------------------------------------------------------------
+
+  /** Register pm at node `id` (store + notify parent / emit at root), mirroring
+    * Node._add_partial_match (/root/reference/tree/nodes/Node.py:120-131) with the
+    * confidence / single-policy gate (/root/reference/tree/nodes/Node.py:133-160). */
+  private def propagate(id: Int, pm: PM, skipPark: Boolean): Unit = {
+    if (confidence >= 0 && pm.prob >= 0 && pm.prob < confidence) return
+    if (!passSingle(id, pm)) return
+    if (!skipPark && id == firstUnboundedId) { pending += pm; return }
+    bufs(id) += pm
+    val par = parentOf(id)
+    if (par < 0) emit(pm)
+    else handleNew(par, id, pm)
+  }
+
+  private def emit(pm: PM): Unit = {
+    out += CepMatch(
+      key = pm.binds.head.evs.head.key,
+      patternId = patternId,
+      firstTs = pm.firstTs,
+      lastTs = pm.lastTs,
+      binds = pm.binds,
+      prob = pm.prob)
+    if (freezeMap.nonEmpty) {
+      val ids = pm.binds.iterator.flatMap(_.evs).map(_.idx).toSet
+      freezers = freezers.filterNot { case (_, f) => ids.contains(f.idx) }
+    }
+  }
+
+  private def passSingle(id: Int, pm: PM): Boolean = {
+    val types = singleAt.getOrElse(id, null)
+    if (types == null || types.isEmpty) return true
+    val seen = filtered.getOrElseUpdate(id, mutable.LinkedHashMap.empty)
+    // expire old filtered events lazily by window
+    val hw = pm.lastTs - windowMicros
+    seen.filterInPlace { case (_, ts) => ts >= hw }
+    val fresh = ArrayBuffer.empty[Ev]
+    var ok = true
+    pm.binds.foreach(_.evs.foreach { ev =>
+      if (types.contains(ev.etype)) {
+        if (seen.contains(ev.idx)) ok = false else fresh += ev
+      }
+    })
+    if (ok) fresh.foreach(ev => seen.update(ev.idx, ev.ts))
+    ok
+  }
+
+  private def handleNew(parId: Int, fromId: Int, pm: PM): Unit = nodes(parId) match {
+    case b: BinSpec =>
+      val otherId = if (fromId == b.left.id) b.right.id else b.left.id
+      expire(otherId, pm.lastTs)
+      expire(parId, pm.lastTs)
+      // iterate over a copy: combinations may recursively add to buffers
+      bufs(otherId).toArray.foreach { opm =>
+        val merged = mergeBinds(pm.binds, opm.binds)
+        if (valid(parId, b.isSeq, merged))
+          propagate(parId, PM(merged, Joint.prob(pm.prob, opm.prob)), skipPark = false)
+      }
+    case k: KCSpec =>
+      expire(k.child.id, pm.lastTs)
+      val buffer = bufs(k.child.id)
+      // the newest child match is the last buffered one; enumerate subsets of the rest
+      // (/root/reference/tree/nodes/KleeneClosureNode.py:58-80)
+      val prefix = buffer.view.slice(0, buffer.length - 1).toArray
+      val maxPrefix = (if (k.maxSize > 0) k.maxSize else buffer.length) - 1
+      subsets(prefix, maxPrefix).foreach { sub =>
+        val members = sub :+ pm
+        if (members.length >= k.minSize) {
+          val evs = members.iterator.flatMap(_.binds.iterator.flatMap(_.evs)).toList
+          val prob = members.foldLeft(-1.0)((p, m) => Joint.prob(p, m.prob))
+          val bind = Bind(k.bindSlot, nameBySlot(k.bindSlot), evs)
+          lazy val kcBinding: Map[String, List[Ev]] =
+            kcNamesBySlot(k.bindSlot).iterator.map(_ -> evs).toMap
+          if (evs.last.ts - evs.head.ts <= windowMicros &&
+            kcNodeConds.getOrElse(k.id, Nil).forall(_.eval(kcBinding)) &&
+            evalConds(nodeConds.getOrElse(k.id, Nil), Vector(bind)))
+            propagate(k.id, PM(Vector(bind), prob), skipPark = false)
+        }
+      }
+    case ng: NegSpec =>
+      if (fromId == ng.pos.id) {
+        expire(ng.neg.id, pm.lastTs)
+        var prob = pm.prob
+        var invalidated = false
+        val negBuf = bufs(ng.neg.id)
+        var i = 0
+        while (i < negBuf.length && !invalidated) {
+          val npm = negBuf(i)
+          val merged = mergeBinds(pm.binds, npm.binds)
+          if (valid(parId, ng.isSeq, merged)) {
+            if (npm.prob >= 0) prob = Joint.prob(prob, 1 - npm.prob)
+            else invalidated = true
+          }
+          i += 1
+        }
+        if (!invalidated) propagate(parId, PM(pm.binds, prob), skipPark = false)
+      } else {
+        // a new negative arrived; retroactively invalidate pending matches
+        // (/root/reference/tree/nodes/NegationNode.py:137-168)
+        if (ng.unbounded && firstUnboundedId >= 0 && pending.nonEmpty) {
+          pending.filterInPlace { p =>
+            val merged = mergeBinds(p.binds, pm.binds)
+            !valid(parId, ng.isSeq, merged)
+          }
+        }
+      }
+    case _: LeafSpec => () // leaves have no children; unreachable
+  }
+
+  // ---- validation --------------------------------------------------------------------
+
+  /** Window (inclusive) + duplicate-event rejection + SEQ slot-order check + node
+    * conditions (/root/reference/tree/nodes/Node.py:187-193,
+    * /root/reference/tree/nodes/InternalNode.py:22-35, /root/reference/tree/nodes/SeqNode.py:30-33). */
+  private def valid(nodeId: Int, isSeq: Boolean, merged: Vector[Bind]): Boolean = {
+    var minTs = Long.MaxValue
+    var maxTs = Long.MinValue
+    merged.foreach { b =>
+      if (b.minTs < minTs) minTs = b.minTs
+      if (b.maxTs > maxTs) maxTs = b.maxTs
+    }
+    if (maxTs - minTs > windowMicros) return false
+    if (isSeq) {
+      var i = 0
+      while (i < merged.length - 1) {
+        if (merged(i).minTs > merged(i + 1).minTs) return false
+        if (merged(i).maxTs > merged(i + 1).maxTs) return false
+        i += 1
+      }
+    }
+    // duplicate events are not allowed in a match
+    val seen = mutable.HashSet.empty[Long]
+    var i = 0
+    while (i < merged.length) {
+      var es = merged(i).evs
+      while (es.nonEmpty) {
+        if (!seen.add(es.head.idx)) return false
+        es = es.tail
+      }
+      i += 1
+    }
+    evalConds(nodeConds.getOrElse(nodeId, Nil), merged)
+  }
+
+  private def evalConds(cs: List[Cond], binds: Vector[Bind]): Boolean =
+    cs.isEmpty || {
+      val binding = buildBinding(binds)
+      cs.forall(_.eval(binding))
+    }
+
+  /** Binding for condition evaluation: name -> bound events. A bind at a KC bind-slot maps
+    * all KC child names to the (possibly aggregated) event list; the raw leaf bind inside
+    * the KC subtree shares that slot, and its name is among the child names, so the single
+    * rule is safe for both. */
+  private def buildBinding(binds: Vector[Bind]): Map[String, List[Ev]] = {
+    val m = Map.newBuilder[String, List[Ev]]
+    binds.foreach { b =>
+      kcNamesBySlot.get(b.slot) match {
+        case Some(ns) => ns.foreach(n => m += n -> b.evs)
+        case None     => m += b.name -> b.evs
+      }
+    }
+    m.result()
+  }
+
+  /** Merge two slot-sorted bind vectors (the reference's merge_according_to,
+    * /root/reference/misc/Utils.py:120-157). */
+  private def mergeBinds(a: Vector[Bind], b: Vector[Bind]): Vector[Bind] = {
+    val res = Vector.newBuilder[Bind]
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i).slot <= b(j).slot) { res += a(i); i += 1 } else { res += b(j); j += 1 }
+    }
+    while (i < a.length) { res += a(i); i += 1 }
+    while (j < b.length) { res += b(j); j += 1 }
+    res.result()
+  }
+
+  /** Subsets of `arr` (preserving order) with size <= maxSize. Enumerated by size like the
+    * reference's powerset_generator (/root/reference/misc/Utils.py:234-244); enumeration
+    * order does not affect the output set. */
+  private def subsets(arr: Array[PM], maxSize: Int): Iterator[List[PM]] = {
+    if (maxSize <= 0 || arr.isEmpty) return Iterator.single(Nil)
+    val bound = math.min(maxSize, arr.length)
+    (0 to bound).iterator.flatMap(k => combinations(arr, k))
+  }
+
+  private def combinations(arr: Array[PM], k: Int): Iterator[List[PM]] = {
+    if (k == 0) return Iterator.single(Nil)
+    new Iterator[List[PM]] {
+      private val idx = Array.tabulate(k)(identity)
+      private var done = k > arr.length
+      def hasNext: Boolean = !done
+      def next(): List[PM] = {
+        val res = idx.iterator.map(arr).toList
+        // advance
+        var i = k - 1
+        while (i >= 0 && idx(i) == arr.length - k + i) i -= 1
+        if (i < 0) done = true
+        else {
+          idx(i) += 1
+          var j = i + 1
+          while (j < k) { idx(j) = idx(j - 1) + 1; j += 1 }
+        }
+        res
+      }
+    }
+  }
+
+  /** Drop expired partial matches (first_ts < last_ts - window),
+    * /root/reference/tree/PatternMatchStorage.py:70-89. */
+  private def expire(id: Int, lastTs: Long): Unit = {
+    val b = bufs(id)
+    if (b.nonEmpty && b.head.firstTs < lastTs - windowMicros)
+      b.filterInPlace(_.firstTs >= lastTs - windowMicros)
+  }
+
+  // ---- state snapshot ----------------------------------------------------------------
+
+  def snapshot(): RuntimeState = RuntimeState(
+    bufs = bufs.map(_.toVector).toVector,
+    pending = pending.toVector,
+    filtered = filtered.iterator.map { case (id, m) =>
+      id -> m.iterator.map { case (idx, ts) => FilteredEv(idx, ts) }.toVector
+    }.toVector,
+    freezers = freezers)
+
+  def restore(s: RuntimeState): Unit = {
+    var i = 0
+    s.bufs.foreach { b => bufs(i).clear(); bufs(i) ++= b; i += 1 }
+    pending.clear(); pending ++= s.pending
+    filtered.clear()
+    s.filtered.foreach { case (id, evs) =>
+      val m = mutable.LinkedHashMap.empty[Long, Long]
+      evs.foreach(f => m.update(f.idx, f.minTs))
+      filtered.update(id, m)
+    }
+    freezers = s.freezers.toList
+  }
+}

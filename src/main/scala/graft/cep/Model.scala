@@ -1,0 +1,68 @@
+package graft.cep
+
+/**
+ * Engine-internal event representation.
+ *
+ * Mirrors the reference's `Event` (payload dict + type + timestamp + optional probability,
+ * /root/reference/base/Event.py:6-33) but with a fixed, Encoder-friendly shape. Domain
+ * adapters (transcripts, the driver's `events` table) map their rows into this.
+ *
+ *  - `key`   : the partition key (conv_id / user_id) — the GroupByKey routing key
+ *              (/root/reference/parallel/data_parallel/GroupByKeyParallelExecutionAlgorithm.py:10-48).
+ *  - `idx`   : per-key stable index (turn_idx / event_id) — replaces the reference's global
+ *              arrival counter (/root/reference/base/Event.py:13-27); used for identity,
+ *              dedup and contiguity policies.
+ *  - `etype` : classified event type (/root/reference/base/DataFormatter.py:4-15).
+ *  - `ts`    : event time in epoch micros.
+ *  - `num`   : primary numeric payload attribute (price / value / text length ...).
+ *  - `s1,s2` : string payload attributes (text, tool, props ...).
+ *  - `prob`  : occurrence probability for probabilistic streams, or -1.0 when the stream is
+ *              deterministic (/root/reference/base/Event.py:24-26).
+ */
+final case class Ev(
+    key: String,
+    idx: Long,
+    etype: String,
+    ts: Long,
+    num: Double,
+    s1: String,
+    s2: String,
+    prob: Double = -1.0)
+
+/**
+ * One bound pattern element inside a (partial) match: `slot` is the primitive position in the
+ * pattern (the reference's event-definition index), `evs` has length 1 for plain bindings and
+ * length >= 1 for Kleene-closure bindings (the reference's `AggregatedEvent`,
+ * /root/reference/base/Event.py:47-64: min_timestamp = first element, max = last element).
+ */
+final case class Bind(slot: Int, name: String, evs: List[Ev]) {
+  def minTs: Long = evs.head.ts
+  def maxTs: Long = evs.last.ts
+  def isKC: Boolean = evs.lengthCompare(1) > 0
+}
+
+/**
+ * A partial match: binds kept sorted by slot. Mirrors the reference's `PatternMatch`
+ * (/root/reference/base/PatternMatch.py:11-21) with first/last timestamps and joint
+ * probability (-1.0 = deterministic).
+ */
+final case class PM(binds: Vector[Bind], prob: Double = -1.0) {
+  def firstTs: Long = { var m = Long.MaxValue; binds.foreach(b => if (b.minTs < m) m = b.minTs); m }
+  def lastTs: Long = { var m = Long.MinValue; binds.foreach(b => if (b.maxTs > m) m = b.maxTs); m }
+}
+
+/** An emitted full match. `patternId` tags multi-pattern output (SURVEY.md §2.6). */
+final case class CepMatch(
+    key: String,
+    patternId: Int,
+    firstTs: Long,
+    lastTs: Long,
+    binds: Seq[Bind],
+    prob: Double)
+
+object Joint {
+  /** Joint probability product; -1.0 encodes "deterministic" (reference: None),
+    * /root/reference/misc/Utils.py:297-306. */
+  def prob(a: Double, b: Double): Double =
+    if (a < 0) b else if (b < 0) a else a * b
+}

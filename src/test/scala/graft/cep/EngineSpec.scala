@@ -1,0 +1,174 @@
+package graft.cep
+
+import org.scalatest.funsuite.AnyFunSuite
+import PStruct._
+
+/** Helpers shared by the CEP test suites. */
+object T {
+  val MIN: Long = 60L * 1000000L // one minute in micros
+
+  /** Event at `m` minutes with per-key serial `idx`. */
+  def ev(etype: String, m: Double, idx: Long, key: String = "k", num: Double = 0.0): Ev =
+    Ev(key, idx, etype, (m * MIN).toLong, num, s"s$idx", null)
+
+  /** Run the batch path of the engine: feed in (ts, idx) order, then end-of-stream flush. */
+  def cepRun(p: Pattern, events: Seq[Ev]): Seq[CepMatch] =
+    events.groupBy(_.key).values.toSeq.flatMap { perKey =>
+      val eng = new MatchEngine(Compiler.compile(p))
+      perKey.sortBy(e => (e.ts, e.idx)).flatMap(eng.feed) ++ eng.finish()
+    }
+
+  def idxSets(ms: Seq[CepMatch]): Set[List[List[Long]]] =
+    ms.map(_.binds.toList.sortBy(_.slot).map(_.evs.map(_.idx))).toSet
+}
+
+/**
+ * Reference-verified semantics: every expectation below was produced by executing the actual
+ * reference engine (alexha11/OpenCEP) on the same event stream (see the experiment scripts'
+ * results recorded in the test names). These pin the fine print of
+ * /root/reference/tree/nodes/{SeqNode,NegationNode,KleeneClosureNode}.py.
+ */
+class EngineSpec extends AnyFunSuite {
+  import T._
+
+  test("SEQ basic: 3-step in order matches") {
+    val p = Pattern(SEQ(P("A", "a"), P("B", "b"), P("C", "c")), CTrue, 60 * MIN)
+    val ms = cepRun(p, Seq(ev("A", 1, 1), ev("B", 2, 2), ev("C", 3, 3)))
+    assert(idxSets(ms) == Set(List(List(1L), List(2L), List(3L))))
+  }
+
+  test("SEQ rejects out-of-order") {
+    val p = Pattern(SEQ(P("A", "a"), P("B", "b")), CTrue, 60 * MIN)
+    assert(cepRun(p, Seq(ev("B", 1, 1), ev("A", 2, 2))).isEmpty)
+  }
+
+  test("SEQ window is inclusive (span == window matches, span > window does not)") {
+    val p = Pattern(SEQ(P("A", "a"), P("B", "b")), CTrue, 10 * MIN)
+    assert(cepRun(p, Seq(ev("A", 0, 1), ev("B", 10, 2))).size == 1)
+    assert(cepRun(p, Seq(ev("A", 0, 1), ev("B", 10.001, 2))).isEmpty)
+  }
+
+  test("SEQ accepts equal timestamps regardless of arrival order (ref EXP3/EXP7 = 1 match)") {
+    val p = Pattern(SEQ(P("A", "a"), P("B", "b")), CTrue, 60 * MIN)
+    assert(cepRun(p, Seq(ev("B", 1, 1), ev("A", 1, 2))).size == 1)
+    assert(cepRun(p, Seq(ev("A", 1, 1), ev("B", 1, 2))).size == 1)
+  }
+
+  test("nested AND inside SEQ still enforces merged slot order (ref EXP1 = 0, EXP1b = 1)") {
+    val p = Pattern(
+      SEQ(P("A", "a"), AND(P("B", "b"), P("C", "c")), P("D", "d")), CTrue, 60 * MIN)
+    // c strictly before b violates the merged (a,b,c,d) slot-order check
+    assert(cepRun(p, Seq(ev("A", 1, 1), ev("C", 2, 2), ev("B", 3, 3), ev("D", 4, 4))).isEmpty)
+    assert(cepRun(p, Seq(ev("A", 1, 1), ev("B", 2, 2), ev("C", 3, 3), ev("D", 4, 4))).size == 1)
+  }
+
+  test("top-level AND matches any order (ref EXP2 = 1)") {
+    val p = Pattern(AND(P("A", "a"), P("B", "b")), CTrue, 60 * MIN)
+    assert(cepRun(p, Seq(ev("B", 1, 1), ev("A", 2, 2))).size == 1)
+  }
+
+  test("bounded NOT-middle: tie with c invalidates when b arrives first (ref EXP4a=0, EXP4b=1)") {
+    val p = Pattern(SEQ(P("A", "a"), NOT(P("B", "b")), P("C", "c")), CTrue, 60 * MIN)
+    assert(cepRun(p, Seq(ev("A", 1, 1), ev("B", 2, 2), ev("C", 2, 3))).isEmpty)
+    // b arrives AFTER c completes the match (same ts, higher idx): match already emitted
+    assert(cepRun(p, Seq(ev("A", 1, 1), ev("C", 2, 2), ev("B", 2, 3))).size == 1)
+  }
+
+  test("bounded NOT-middle: tie with a invalidates; b strictly before a does not (ref EXP4c=0, EXP4d=1)") {
+    val p = Pattern(SEQ(P("A", "a"), NOT(P("B", "b")), P("C", "c")), CTrue, 60 * MIN)
+    assert(cepRun(p, Seq(ev("A", 1, 1), ev("B", 1, 2), ev("C", 2, 3))).isEmpty)
+    assert(cepRun(p, Seq(ev("B", 0.5, 1), ev("A", 1, 2), ev("C", 2, 3))).size == 1)
+  }
+
+  test("unbounded NOT-end: in-window b kills, out-of-window b does not, flush at end (ref EXP5)") {
+    val p = Pattern(SEQ(P("A", "a"), P("C", "c"), NOT(P("B", "b"))), CTrue, 10 * MIN)
+    assert(cepRun(p, Seq(ev("A", 1, 1), ev("C", 2, 2), ev("B", 4, 3))).isEmpty)
+    assert(cepRun(p, Seq(ev("A", 1, 1), ev("C", 2, 2), ev("B", 60, 3))).size == 1)
+    assert(cepRun(p, Seq(ev("A", 1, 1), ev("C", 2, 2))).size == 1)
+    // b at exactly a + window still invalidates (inclusive window, ref EXP5d = 0)
+    assert(cepRun(p, Seq(ev("A", 1, 1), ev("C", 2, 2), ev("B", 11, 3))).isEmpty)
+  }
+
+  test("NOT under AND is unbounded: b before a also kills (ref EXP6a=0, EXP6b=1)") {
+    val p = Pattern(AND(P("A", "a"), NOT(P("B", "b")), P("C", "c")), CTrue, 10 * MIN)
+    assert(cepRun(p, Seq(ev("B", 0.5, 1), ev("A", 1, 2), ev("C", 2, 3))).isEmpty)
+    assert(cepRun(p, Seq(ev("A", 1, 1), ev("C", 2, 2))).size == 1)
+  }
+
+  test("Kleene closure emits every subset containing each newest event") {
+    val p = Pattern(SEQ(KC(P("A", "a")), P("B", "b")), CTrue, 60 * MIN)
+    val ms = cepRun(p, Seq(ev("A", 1, 1), ev("A", 2, 2), ev("B", 3, 3)))
+    // subsets of {a1, a2}: [1], [2], [1,2] each followed by b
+    assert(idxSets(ms) == Set(
+      List(List(1L), List(3L)),
+      List(List(2L), List(3L)),
+      List(List(1L, 2L), List(3L))))
+  }
+
+  test("Kleene min/max size bounds") {
+    val p = Pattern(SEQ(KC(P("A", "a"), min = 2, max = 2), P("B", "b")), CTrue, 60 * MIN)
+    val ms = cepRun(p, Seq(ev("A", 1, 1), ev("A", 2, 2), ev("A", 3, 3), ev("B", 4, 4)))
+    assert(idxSets(ms) == Set(
+      List(List(1L, 2L), List(4L)),
+      List(List(1L, 3L), List(4L)),
+      List(List(2L, 3L), List(4L))))
+  }
+
+  test("KC value condition (all items) filters subsets") {
+    val p = Pattern(
+      SEQ(KC(P("A", "a")), P("B", "b")),
+      CKCValue("a", _.num, _ <= _, 5.0), 60 * MIN)
+    val ms = cepRun(p, Seq(ev("A", 1, 1, num = 3), ev("A", 2, 2, num = 9), ev("B", 3, 3)))
+    assert(idxSets(ms) == Set(List(List(1L), List(3L))))
+  }
+
+  test("KC index offset condition: ascending chain") {
+    val p = Pattern(
+      SEQ(KC(P("A", "a")), P("B", "b")),
+      CKCIndex("a", _.num, _ < _, useOffset = true, offset = 1), 60 * MIN)
+    val ms = cepRun(p, Seq(ev("A", 1, 1, num = 1), ev("A", 2, 2, num = 5), ev("A", 3, 3, num = 3), ev("B", 4, 4)))
+    // offset >= list length returns false (/root/reference/condition/KCCondition.py:100-102),
+    // so singletons are excluded; ascending pairs only: [1,2] (1<5), [1,3] (1<3), NOT [2,3] (5>3)
+    assert(idxSets(ms).map(_.head) == Set(List(1L, 2L), List(1L, 3L)))
+  }
+
+  test("cross-event condition: b.num > a.num") {
+    val p = Pattern(
+      SEQ(P("A", "a"), P("B", "b")),
+      CBinary("a", "b", (x, y) => y.num > x.num), 60 * MIN)
+    val ms = cepRun(p, Seq(ev("A", 1, 1, num = 5), ev("B", 2, 2, num = 3), ev("B", 3, 3, num = 7)))
+    assert(idxSets(ms) == Set(List(List(1L), List(3L))))
+  }
+
+  test("duplicate event cannot appear twice in one match") {
+    val p = Pattern(SEQ(P("A", "a"), P("A", "b")), CTrue, 60 * MIN)
+    val ms = cepRun(p, Seq(ev("A", 1, 1), ev("A", 2, 2)))
+    assert(idxSets(ms) == Set(List(List(1L), List(2L))))
+  }
+
+  test("OR splits into alternatives and unions results") {
+    val p = Pattern(SEQ(P("A", "a"), OR(P("B", "b"), P("C", "c"))), CTrue, 60 * MIN)
+    val ms = cepRun(p, Seq(ev("A", 1, 1), ev("B", 2, 2), ev("C", 3, 3)))
+    assert(ms.size == 2)
+  }
+
+  test("keys are independent") {
+    val p = Pattern(SEQ(P("A", "a"), P("B", "b")), CTrue, 60 * MIN)
+    val ms = cepRun(p, Seq(ev("A", 1, 1, key = "k1"), ev("B", 2, 2, key = "k2")))
+    assert(ms.isEmpty)
+  }
+
+  test("contiguity policy: adjacent idx required") {
+    val p = Pattern(SEQ(P("A", "a"), P("B", "b")), CTrue, 60 * MIN,
+      policy = Policy(contiguous = List(List("a", "b"))))
+    val ms = cepRun(p, Seq(ev("A", 1, 1), ev("A", 2, 2), ev("B", 3, 3)))
+    assert(idxSets(ms) == Set(List(List(2L), List(3L))))
+  }
+
+  test("MATCH_SINGLE policy: an event joins at most one reported match") {
+    val p = Pattern(SEQ(P("A", "a"), P("B", "b")), CTrue, 60 * MIN,
+      policy = Policy(single = Set("B")))
+    val ms = cepRun(p, Seq(ev("A", 1, 1), ev("A", 2, 2), ev("B", 3, 3)))
+    assert(ms.size == 1) // b used once; second (a2, b) blocked
+  }
+}

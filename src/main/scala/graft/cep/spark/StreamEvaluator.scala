@@ -1,0 +1,77 @@
+package graft.cep.spark
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.cep._
+
+/**
+ * Streaming CEP evaluation: `withWatermark` + `flatMapGroupsWithState` keyed by `key`, the
+ * Structured-Streaming replacement for the reference's synchronous event loop. State per key
+ * holds (a) a small reorder buffer of not-yet-watermark-complete events and (b) the engine
+ * snapshot (per-node partial-match buffers + pending negation matches), checkpointed by the
+ * state store for exactly-once resumability (the north rule's requirement).
+ *
+ * Correctness model: events are only fed to the engine once the watermark passes their
+ * event time, in (ts, idx) order — so the streaming evaluator is deterministic under any
+ * micro-batch slicing and any bounded disorder, and equals the batch evaluator (property
+ * tested). The reference, by contrast, silently mis-evaluates out-of-order input
+ * (/root/reference/tree/nodes/LeafNode.py:85-98).
+ */
+object StreamEvaluator {
+
+  /** Per-key streaming state: reorder buffer + engine snapshot. Serialized via Java
+    * serialization into the state store (RocksDB/HDFS-backed at scale). Restart safety
+    * needs no dedup: the state store commits transactionally per micro-batch, so a replayed
+    * batch starts from the replayed state version. */
+  final case class KeyState(pendingEvents: Vector[Ev], engine: EngineState) extends Serializable
+
+  /** Matches with event-time watermark semantics. `delayMicros` is the allowed lateness.
+    * Late events (ts below the watermark at arrival) are dropped by the watermark filter,
+    * exactly like any Spark stateful op. */
+  def evaluate(
+      events: Dataset[Ev],
+      patterns: Seq[Pattern],
+      delay: String = "10 seconds"): Dataset[CepMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: Encoder[KeyState] = Encoders.javaSerialization[KeyState]
+    val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
+    val types = compiled.flatMap(_.relevantTypes).distinct
+
+    events
+      .filter(col("etype").isin(types: _*))
+      .withColumn("eventTime", timestamp_micros(col("ts")))
+      .withWatermark("eventTime", delay)
+      .as[Ev]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        processKey(compiled))
+  }
+
+  private def processKey(compiled: IndexedSeq[CompiledPattern])(
+      key: String,
+      rows: Iterator[Ev],
+      state: GroupState[KeyState]): Iterator[CepMatch] = {
+    val engine = new MatchEngine(compiled)
+    val prev = state.getOption.getOrElse(KeyState(Vector.empty, null))
+    if (prev.engine != null) engine.restore(prev.engine)
+
+    val incoming = rows.toVector
+    val watermark = state.getCurrentWatermarkMs() * 1000L // ms -> micros
+    val all = (prev.pendingEvents ++ incoming).sortBy(e => (e.ts, e.idx))
+    // feed only the watermark-complete prefix: events at ts >= watermark may still gain
+    // earlier-or-tied siblings in later batches, so they wait in the reorder buffer
+    val (ready, hold) = all.partition(_.ts < watermark)
+
+    val out = Vector.newBuilder[CepMatch]
+    ready.foreach(e => out ++= engine.feed(e))
+    out ++= engine.advance(watermark)
+
+    state.update(KeyState(hold, engine.snapshot()))
+    // wake this key on watermark advance even without new events, so held events and
+    // parked negation matches are released
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1000L)
+    out.result().iterator
+  }
+}

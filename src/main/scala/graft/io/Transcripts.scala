@@ -1,0 +1,115 @@
+package graft.io
+
+import org.apache.spark.sql.{Dataset, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cep.Ev
+import scala.util.Random
+
+/**
+ * The primary input table per BASELINE.json `input_hint`:
+ * transcripts(conv_id, turn_idx, role, text, tool, ts). Includes the deterministic seeded
+ * generator used for parity fixtures and benchmarks (FIXTURES.md) — at production scale this
+ * is an Iceberg table; in this sandbox a parquet-backed Dataset with the same schema.
+ */
+object Transcripts {
+
+  final case class Turn(
+      conv_id: String,
+      turn_idx: Int,
+      role: String,
+      text: String,
+      tool: String,
+      ts: java.sql.Timestamp)
+
+  /** EventTypeClassifier analogue (/root/reference/base/DataFormatter.py:4-15;
+    * rule from FIXTURES.md §1). */
+  def classify(role: String, tool: String): String =
+    if (role == "user") "USER"
+    else if (tool != null) "TOOL"
+    else if (role == "assistant") "ASSISTANT"
+    else "SYSTEM"
+
+  /** Deterministic seeded generator (seed fixed per conversation so generation is
+    * order-independent and parallelizable). ~30% of turns land in one hot conversation to
+    * exercise skew handling; duplicate-timestamp pairs are injected to exercise the SEQ
+    * tie rule. */
+  def generate(nConvs: Int, seed: Long = 42L, hotShare: Double = 0.3): Seq[Turn] =
+    (0 until nConvs).flatMap(c => genConv(c, seed, nConvs, hotShare))
+
+  private def genConv(c: Int, seed: Long, nConvs: Int, hotShare: Double): Seq[Turn] = {
+    val r = new Random(seed * 1000003L + c)
+    val convId = f"conv-$c%05d"
+    val baseTurns = 3 + r.nextInt(58)
+    // conversation 0 is the hot key: scale its turn count so it holds ~hotShare of turns
+    val nTurns =
+      if (c == 0 && nConvs > 1) math.max(baseTurns,
+        (hotShare / (1 - hotShare) * 31.5 * (nConvs - 1)).toInt)
+      else baseTurns
+    val startMicros = (math.abs(convId.hashCode) % 100000).toLong * 60L * 1000000L
+    var ts = startMicros
+    val tools = Array("search", "code", "fetch", "calc")
+    (0 until nTurns).map { i =>
+      // 0-120s per-turn increment; every ~7th pair shares a timestamp (tie coverage)
+      if (i > 0 && i % 7 != 0) ts += r.nextInt(120) * 1000000L + r.nextInt(1000000)
+      val role = (i % 3, r.nextInt(10)) match {
+        case (0, _)          => "user"
+        case (1, d) if d < 8 => "assistant"
+        case (2, d) if d < 8 => "assistant"
+        case _               => "system"
+      }
+      val tool = if (role == "assistant" && r.nextInt(100) < 25) tools(r.nextInt(4)) else null
+      val words = (0 until 3 + r.nextInt(12)).map(_ => WORDS(r.nextInt(WORDS.length))).mkString(" ")
+      Turn(convId, i, role, s"[$convId/$i] $words", tool, new java.sql.Timestamp(ts / 1000L))
+    }
+  }
+
+  private val WORDS = Array("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+    "spark", "stream", "pattern", "match", "window", "state", "shuffle", "partition")
+
+  def toDs(spark: SparkSession, turns: Seq[Turn]): Dataset[Turn] = {
+    import spark.implicits._
+    spark.createDataset(turns)
+  }
+
+  /** Map transcripts to engine events: key=conv_id, idx=turn_idx, etype=classify(role,tool),
+    * ts in micros, num=text length (the default numeric payload), s1=text, s2=tool. */
+  def toEv(ds: Dataset[Turn]): Dataset[Ev] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.select(
+      col("conv_id").as("key"),
+      col("turn_idx").cast("long").as("idx"),
+      when(col("role") === "user", "USER")
+        .when(col("tool").isNotNull, "TOOL")
+        .when(col("role") === "assistant", "ASSISTANT")
+        .otherwise("SYSTEM").as("etype"),
+      unix_micros(col("ts")).as("ts"),
+      length(col("text")).cast("double").as("num"),
+      col("text").as("s1"),
+      col("tool").as("s2"),
+      lit(-1.0).as("prob")
+    ).as[Ev]
+  }
+}
+
+/** Adapter for the driver's events table (events.parquet under /root/testdata/sf&#42;):
+  * key=user_id, idx=event_id, etype=event_type, num=value, s1=props. */
+object EventsTable {
+  import org.apache.spark.sql.functions._
+
+  def load(spark: SparkSession, sfDir: String): Dataset[Ev] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        col("user_id").cast("string").as("key"),
+        col("event_id").as("idx"),
+        col("event_type").as("etype"),
+        // driver parquet carries TIMESTAMP_NTZ; cast is exact under the UTC session timezone
+        unix_micros(col("ts").cast("timestamp")).as("ts"),
+        col("value").as("num"),
+        col("props").as("s1"),
+        lit(null).cast("string").as("s2"),
+        lit(-1.0).as("prob"))
+      .as[Ev]
+  }
+}

@@ -1,0 +1,86 @@
+package graft.cep.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cep._
+import graft.cep.PStruct._
+import graft.io.Transcripts
+
+object SparkT {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val MIN: Long = 60L * 1000000L
+
+  /** Flagship pattern: user turn -> tool call -> assistant answer within 10 minutes where
+    * the assistant's text is longer than the user's (SURVEY.md §7.2 milestone slice). */
+  val flagship: Pattern = Pattern(
+    SEQ(P("USER", "u"), P("TOOL", "t"), P("ASSISTANT", "a")),
+    CBinary("u", "a", (u, a) => a.num > u.num),
+    windowMicros = 10 * MIN)
+
+  val negPattern: Pattern = Pattern(
+    SEQ(P("USER", "u"), NOT(P("TOOL", "t")), P("ASSISTANT", "a")),
+    CTrue, windowMicros = 5 * MIN)
+
+  val kcPattern: Pattern = Pattern(
+    SEQ(P("USER", "u"), KC(P("TOOL", "t"), min = 1, max = 3)),
+    CTrue, windowMicros = 5 * MIN)
+
+  def canon(ms: Seq[CepMatch]): Set[(String, Int, List[(Int, List[Long])])] =
+    ms.map(m => (m.key, m.patternId, m.binds.toList.sortBy(_.slot).map(b => (b.slot, b.evs.map(_.idx))))).toSet
+}
+
+class SparkSpec extends AnyFunSuite {
+  import SparkT._
+
+  private lazy val turns = Transcripts.generate(nConvs = 30)
+  private lazy val evs = Transcripts.toEv(Transcripts.toDs(spark, turns))
+
+  test("BatchEvaluator equals the in-process engine on generated transcripts") {
+    val patterns = Seq(flagship.copy(id = 0), negPattern.copy(id = 1), kcPattern.copy(id = 2))
+    val got = canon(BatchEvaluator.evaluate(evs, patterns).collect().toSeq)
+    val local = evs.collect().toSeq
+    val want = canon(local.groupBy(_.key).values.toSeq.flatMap { perKey =>
+      val eng = new MatchEngine(patterns.flatMap(Compiler.compile).toIndexedSeq)
+      perKey.sortBy(e => (e.ts, e.idx)).flatMap(eng.feed) ++ eng.finish()
+    })
+    assert(got.nonEmpty, "expected at least one match on the generated corpus")
+    assert(got == want)
+  }
+
+  test("salted (RIP pane) evaluation equals unsalted on a skewed corpus") {
+    val patterns = Seq(flagship.copy(id = 0), negPattern.copy(id = 1), kcPattern.copy(id = 2))
+    val plain = canon(BatchEvaluator.evaluate(evs, patterns).collect().toSeq)
+    val salted = canon(Rip.evaluateSalted(evs, patterns, paneMicros = 10 * MIN).collect().toSeq)
+    assert(plain.nonEmpty)
+    assert(salted == plain)
+  }
+
+  test("salted evaluation spreads the hot key over many panes") {
+    import spark.implicits._
+    val hot = evs.filter(_.key == "conv-00000")
+    val panes = hot.map(e => Math.floorDiv(e.ts, 10 * MIN)).distinct().count()
+    assert(panes > 4, s"hot conversation should span >4 panes, got $panes")
+  }
+
+  test("type filter is pushed into the scan") {
+    val patterns = Seq(flagship)
+    val tmp = java.nio.file.Files.createTempDirectory("graftpq").toString
+    evs.write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    val fromDisk = spark.read.parquet(tmp).as[Ev]
+    val plan = BatchEvaluator.evaluate(fromDisk, patterns).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(etype"),
+      s"expected etype IN filter pushed to parquet scan:\n$plan")
+  }
+}

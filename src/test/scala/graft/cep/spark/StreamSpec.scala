@@ -1,0 +1,94 @@
+package graft.cep.spark
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cep._
+import graft.io.Transcripts
+import java.nio.file.Files
+
+class StreamSpec extends AnyFunSuite {
+  import SparkT._
+
+  private val patterns = Seq(flagship.copy(id = 0), negPattern.copy(id = 1), kcPattern.copy(id = 2))
+
+  /** A far-future sentinel of a relevant type on an isolated key pushes the watermark past
+    * every real event so held events and parked negation matches flush. */
+  private def sentinel(maxTs: Long): Ev =
+    Ev("zz-sentinel", 0, "USER", maxTs + 3600L * 1000000L, 0, "", null)
+
+  private def dropSentinel(ms: Seq[CepMatch]): Seq[CepMatch] = ms.filterNot(_.key == "zz-sentinel")
+
+  test("streaming evaluator equals batch evaluator under micro-batch slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val turns = Transcripts.generate(nConvs = 12)
+    val evs = Transcripts.toEv(Transcripts.toDs(spark, turns)).collect().toSeq.sortBy(e => (e.ts, e.idx))
+    val maxTs = evs.map(_.ts).max
+
+    val input = MemoryStream[Ev]
+    val out = StreamEvaluator.evaluate(input.toDS(), patterns, delay = "5 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("cepstream").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // slice into uneven micro-batches
+    val slices = evs.grouped(37).toSeq
+    slices.foreach { s => input.addData(s); query.processAllAvailable() }
+    input.addData(sentinel(maxTs)); query.processAllAvailable()
+    // one extra empty-ish batch so EventTimeTimeout wakeups fire after the watermark advance
+    input.addData(sentinel(maxTs + 1)); query.processAllAvailable()
+    val got = canon(dropSentinel(spark.table("cepstream").as[CepMatch].collect().toSeq))
+    query.stop()
+
+    val want = canon(dropSentinel(
+      BatchEvaluator.evaluate(Transcripts.toEv(Transcripts.toDs(spark, turns)), patterns).collect().toSeq))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("checkpoint resume: kill and restart yields exactly the batch result (exactly-once sink)") {
+    import spark.implicits._
+    val turns = Transcripts.generate(nConvs = 10)
+    val evs = Transcripts.toEv(Transcripts.toDs(spark, turns)).collect().toSeq.sortBy(e => (e.ts, e.idx))
+    val maxTs = evs.map(_.ts).max
+    val dir = Files.createTempDirectory("cepresume")
+    val srcDir = s"$dir/src"; val ckpt = s"$dir/ckpt"; val outDir = s"$dir/out"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    val schema = spark.emptyDataset[Ev].schema
+    def writeSlice(slice: Seq[Ev], n: Int): Unit =
+      spark.createDataset(slice).repartition(1).write.parquet(s"$srcDir/batch$n")
+
+    val half = evs.length / 2
+    writeSlice(evs.take(half), 0)
+
+    def startQuery() = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/batch*").as[Ev]
+      StreamEvaluator.evaluate(src, patterns, delay = "5 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // hard stop: simulates failure; checkpoint holds state + offsets
+
+    writeSlice(evs.drop(half), 1)
+    writeSlice(Seq(sentinel(maxTs)), 2)
+    writeSlice(Seq(sentinel(maxTs + 1)), 3)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = canon(dropSentinel(spark.read.parquet(outDir).as[CepMatch].collect().toSeq))
+    val want = canon(dropSentinel(
+      BatchEvaluator.evaluate(Transcripts.toEv(Transcripts.toDs(spark, turns)), patterns).collect().toSeq))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+}

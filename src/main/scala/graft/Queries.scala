@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cep._
+import graft.cep.PStruct._
+import graft.cep.spark.{BatchEvaluator, Rip}
+import graft.io.EventsTable
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/**
+ * Driver-facing query catalog over the /root/testdata tables. Each query has a stable
+ * column set (names AND types matched to its DuckDB oracle in SparkEntry.oracleSql):
+ * counts as BIGINT, micros as BIGINT, exact-decimal sums cast to DOUBLE (deterministic
+ * across engines because the summation is exact and only rounded once).
+ */
+object Queries {
+
+  private val H = 3600L * 1000000L // one hour in micros
+
+  // ---- CEP over the events table -----------------------------------------------------
+
+  /** SEQ(view v, purchase b) within 6h where b.value > v.value. */
+  val seq2Pattern: Pattern = Pattern(
+    SEQ(P("view", "v"), P("purchase", "b")),
+    CBinary("v", "b", (v, b) => b.num > v.num), 6 * H)
+
+  /** SEQ(view, click, purchase) within 24h. */
+  val seq3Pattern: Pattern = Pattern(
+    SEQ(P("view", "v"), P("click", "c"), P("purchase", "b")), CTrue, 24 * H)
+
+  /** SEQ(signup, NOT(error), purchase) within 72h. */
+  val seqNotPattern: Pattern = Pattern(
+    SEQ(P("signup", "s"), NOT(P("error", "e")), P("purchase", "b")), CTrue, 72 * H)
+
+  /** AND(error, purchase) within 1h (any order). */
+  val and2Pattern: Pattern = Pattern(
+    AND(P("error", "e"), P("purchase", "b")), CTrue, 1 * H)
+
+  /** SEQ(KC(click)[2..3], purchase) within 2h — powerset semantics, no SQL oracle. */
+  val kleenePattern: Pattern = Pattern(
+    SEQ(KC(P("click", "k"), min = 2, max = 3), P("purchase", "b")), CTrue, 2 * H)
+
+  private def cepFlat(s: SparkSession, dir: String, p: Pattern, cols: (String, String)*): DataFrame = {
+    val ms = BatchEvaluator.evaluate(EventsTable.load(s, dir), Seq(p))
+    val flat = BatchEvaluator.flat(ms, p)
+    flat.select(col("key").cast("long").as("user_id") +: cols.map { case (f, t) => col(f).as(t) }: _*)
+  }
+
+  def cepSeq2(s: SparkSession, dir: String): DataFrame =
+    cepFlat(s, dir, seq2Pattern, "v_idx" -> "v_id", "b_idx" -> "b_id")
+
+  def cepSeq3(s: SparkSession, dir: String): DataFrame =
+    cepFlat(s, dir, seq3Pattern, "v_idx" -> "v_id", "c_idx" -> "c_id", "b_idx" -> "b_id")
+
+  def cepSeqNot(s: SparkSession, dir: String): DataFrame =
+    cepFlat(s, dir, seqNotPattern, "s_idx" -> "s_id", "b_idx" -> "b_id")
+
+  def cepAnd2(s: SparkSession, dir: String): DataFrame =
+    cepFlat(s, dir, and2Pattern, "e_idx" -> "e_id", "b_idx" -> "b_id")
+
+  def cepKleene(s: SparkSession, dir: String): DataFrame = {
+    val ms = BatchEvaluator.evaluate(EventsTable.load(s, dir), Seq(kleenePattern))
+    BatchEvaluator.flat(ms, kleenePattern)
+      .select(col("key").cast("long").as("user_id"),
+        col("k_idxs").as("k_ids"), col("b_idx").as("b_id"))
+  }
+
+  /** Same result as cepSeq3 but through the RIP-salted path — shares seq3's oracle, so the
+    * driver independently validates the skew path. */
+  def cepSaltedSeq3(s: SparkSession, dir: String): DataFrame = {
+    val ms = Rip.evaluateSalted(EventsTable.load(s, dir), Seq(seq3Pattern), paneMicros = 24 * H)
+    BatchEvaluator.flat(ms, seq3Pattern)
+      .select(col("key").cast("long").as("user_id"),
+        col("v_idx").as("v_id"), col("c_idx").as("c_id"), col("b_idx").as("b_id"))
+  }
+
+  // ---- relational / window engine smoke ----------------------------------------------
+
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc"),
+        count(lit(1)).as("n"))
+
+  /** Orders x customer x nation with broadcast dimensions (the 100 TB shape: fact-side
+    * shuffle avoided entirely; dims broadcast). */
+  def qJoinNation(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val customer = broadcast(s.read.parquet(s"$dir/customer.parquet"))
+    val nation = broadcast(s.read.parquet(s"$dir/nation.parquet"))
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  def qTopkParts(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double").as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+      .limit(5)
+
+  def qWindowDay(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("event_type"), unix_micros(col("w.start").cast("timestamp")).as("day_start"),
+        col("n_events"), col("sum_value"))
+
+  def qSession(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start").cast("timestamp")).as("session_start"),
+        col("n_events"))
+
+  // ---- training-data pipeline ops ------------------------------------------------------
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame = Dedup.exact(s, dir)
+  def ngramPairs(s: SparkSession, dir: String): DataFrame = Dedup.ngramJaccardPairs(s, dir)
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = Dedup.minhashLshPairs(s, dir)
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = Dedup.simhashPairs(s, dir)
+  def tokenCount(s: SparkSession, dir: String): DataFrame = TextOps.tokenCount(s, dir)
+  def quality(s: SparkSession, dir: String): DataFrame = TextOps.qualityScore(s, dir)
+  def langId(s: SparkSession, dir: String): DataFrame = TextOps.langId(s, dir)
+  def fingerprint(s: SparkSession, dir: String): DataFrame = TextOps.fingerprint(s, dir)
+  def cosineTop1(s: SparkSession, dir: String): DataFrame = Similarity.bruteTop1(s, dir)
+  def cosineLsh(s: SparkSession, dir: String): DataFrame = Similarity.lshTop1(s, dir)
+}

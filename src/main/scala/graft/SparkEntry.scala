@@ -1,13 +1,180 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Query inventory maps SURVEY.md §2: CEP joins/negation/Kleene (§2.3-2.4) over `events`,
+  * windows (§2.5), relational smoke, and the training-data pipeline ops. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the CEP funnel SEQ(view, click, purchase) on sf=0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.cepSeq3(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CEP over events (SURVEY.md §2.3 joins, §2.6 negation, §2.4 Kleene, §2.9 skew)
+    "cep_seq2" -> (Queries.cepSeq2 _),
+    "cep_seq3" -> (Queries.cepSeq3 _),
+    "cep_seq_not" -> (Queries.cepSeqNot _),
+    "cep_and2" -> (Queries.cepAnd2 _),
+    "cep_kleene" -> (Queries.cepKleene _),
+    "cep_salted_seq3" -> (Queries.cepSaltedSeq3 _),
+    // relational / window smoke (§2.2, §2.5)
+    "q1_agg" -> (Queries.q1Agg _),
+    "q_join_nation" -> (Queries.qJoinNation _),
+    "q_topk_parts" -> (Queries.qTopkParts _),
+    "q_window_day" -> (Queries.qWindowDay _),
+    "q_session" -> (Queries.qSession _),
+    // training-data pipeline ops
+    "dedup_exact" -> (Queries.dedupExact _),
+    "d_ngram_pairs" -> (Queries.ngramPairs _),
+    "d_minhash_pairs" -> (Queries.minhashPairs _),
+    "d_simhash_pairs" -> (Queries.simhashPairs _),
+    "t_token_count" -> (Queries.tokenCount _),
+    "t_quality" -> (Queries.quality _),
+    "t_lang_id" -> (Queries.langId _),
+    "t_fingerprint" -> (Queries.fingerprint _),
+    "s_cosine_top1" -> (Queries.cosineTop1 _),
+    "s_cosine_lsh" -> (Queries.cosineLsh _))
+
+  /** DuckDB oracles. Omitted for hash-signature ops (d_minhash_pairs, d_simhash_pairs,
+    * s_cosine_lsh, cep_kleene) whose signatures are not SQL-replicable -> rows-only check;
+    * those are covered by ScalaTest instead. */
+  def oracleSql: Map[String, String] = Map(
+    "cep_seq2" ->
+      """SELECT a.user_id AS user_id, a.event_id AS v_id, b.event_id AS b_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND a.ts <= b.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+        |  AND b.value > a.value""".stripMargin,
+    "cep_seq3" ->
+      """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id, b.event_id AS b_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id JOIN events b ON v.user_id = b.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND v.ts <= c.ts AND c.ts <= b.ts
+        |  AND epoch_us(b.ts) - epoch_us(v.ts) <= 86400000000""".stripMargin,
+    "cep_seq_not" ->
+      """SELECT s.user_id AS user_id, s.event_id AS s_id, b.event_id AS b_id
+        |FROM events s JOIN events b ON s.user_id = b.user_id
+        |WHERE s.event_type = 'signup' AND b.event_type = 'purchase'
+        |  AND s.ts <= b.ts AND epoch_us(b.ts) - epoch_us(s.ts) <= 259200000000
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events e WHERE e.user_id = s.user_id AND e.event_type = 'error'
+        |      AND e.ts >= s.ts
+        |      AND (e.ts < b.ts OR (e.ts = b.ts AND e.event_id < b.event_id)))""".stripMargin,
+    "cep_and2" ->
+      """SELECT e.user_id AS user_id, e.event_id AS e_id, b.event_id AS b_id
+        |FROM events e JOIN events b ON e.user_id = b.user_id
+        |WHERE e.event_type = 'error' AND b.event_type = 'purchase'
+        |  AND abs(epoch_us(e.ts) - epoch_us(b.ts)) <= 3600000000""".stripMargin,
+    "cep_salted_seq3" ->
+      """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id, b.event_id AS b_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id JOIN events b ON v.user_id = b.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND v.ts <= c.ts AND c.ts <= b.ts
+        |  AND epoch_us(b.ts) - epoch_us(v.ts) <= 86400000000""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  (SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE) AS sum_qty,
+        |  (SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE) AS sum_base,
+        |  (SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE) AS sum_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_join_nation" ->
+      """SELECT n.n_name AS nation,
+        |  (SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))::DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q_topk_parts" ->
+      """SELECT l_partkey,
+        |  (SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_partkey LIMIT 5""".stripMargin,
+    "q_window_day" ->
+      """SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_start,
+        |  count(*) AS n_events,
+        |  (SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_session" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
+        |s AS (SELECT user_id, us,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(us) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d_ngram_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+        |                x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS gram
+        |  FROM w WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |c AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_common
+        |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_common, (sa.n + sb.n - n_common) AS n_union
+        |FROM c JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.4""".stripMargin,
+    "t_token_count" ->
+      """SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |  length(text) AS n_chars FROM documents""".stripMargin,
+    "t_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |    (len(regexp_extract_all(lower(text), '\bthe\b')) +
+        |     len(regexp_extract_all(lower(text), '\ba\b')) +
+        |     len(regexp_extract_all(lower(text), '\bof\b')) +
+        |     len(regexp_extract_all(lower(text), '\bto\b')) +
+        |     len(regexp_extract_all(lower(text), '\bin\b')) +
+        |     len(regexp_extract_all(lower(text), '\band\b')) +
+        |     len(regexp_extract_all(lower(text), '\bis\b')) +
+        |     len(regexp_extract_all(lower(text), '\bon\b'))) AS n_stopwords
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_stopwords,
+        |  (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS stopword_ratio,
+        |  (CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS chars_per_token
+        |FROM b""".stripMargin,
+    "t_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(der|und|die)\b')) AS sc_de,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|a)\b')) AS sc_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|que)\b')) AS sc_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|et)\b')) AS sc_fr,
+        |    len(regexp_extract_all(lower(text), '\b(de|shi|le)\b')) AS sc_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN sc_zh > greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'zh'
+        |       WHEN sc_fr > greatest(sc_de, sc_en, sc_es) THEN 'fr'
+        |       WHEN sc_es > greatest(sc_de, sc_en) THEN 'es'
+        |       WHEN sc_en > sc_de THEN 'en'
+        |       ELSE 'de' END AS pred_lang,
+        |  lang AS labeled_lang
+        |FROM s""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "s_cosine_top1" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, nn_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk FROM s)
+        |SELECT vec_id, nn_id FROM r WHERE rk = 1""".stripMargin)
 }

@@ -62,6 +62,71 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch]) exte
 
   private val n = nodes.length
   private val bufs: Array[ArrayBuffer[PM]] = Array.fill(n)(ArrayBuffer.empty[PM])
+
+  // ---- precompiled condition evaluators (slot-resolved; no per-pair Map allocation) ----
+
+  /** Candidate bind slots per name: the leaf slot, plus the KC bind slot when the name is
+    * under a Kleene closure (above the KC node the bind carries the aggregated slot). */
+  private val slotsOfName: Map[String, Array[Int]] = {
+    val base = nameBySlot.map(_.swap).view.mapValues(s => Array(s)).toMap
+    kcNamesBySlot.foldLeft(base) { case (m, (bs, names)) =>
+      names.foldLeft(m)((mm, nm) =>
+        mm.updated(nm, (mm.getOrElse(nm, Array.empty[Int]) :+ bs).distinct))
+    }
+  }
+
+  private def findBind(bs: Vector[Bind], slots: Array[Int]): Bind = {
+    var i = 0
+    while (i < bs.length) {
+      val s = bs(i).slot
+      var j = 0
+      while (j < slots.length) { if (slots(j) == s) return bs(i); j += 1 }
+      i += 1
+    }
+    null
+  }
+
+  /** Compile a placed condition into a direct evaluator over slot-sorted binds.
+    * Semantics identical to Cond.eval over the binding map (missing name => false for
+    * atoms, via the composite's forall/exists). */
+  private def compileCond(c: Cond): Vector[Bind] => Boolean = c match {
+    case CTrue => _ => true
+    case CAnd(cs) => val fs = cs.map(compileCond).toArray; bs => fs.forall(_(bs))
+    case COr(cs)  => val fs = cs.map(compileCond).toArray; bs => fs.exists(_(bs))
+    case CUnary(nm, f) =>
+      val ss = slotsOfName(nm)
+      bs => { val b = findBind(bs, ss); b != null && f(b.evs.head) }
+    case CBinary(x, y, f) =>
+      val sx = slotsOfName(x); val sy = slotsOfName(y)
+      bs => {
+        val bx = findBind(bs, sx); val by = findBind(bs, sy)
+        bx != null && by != null && f(bx.evs.head, by.evs.head)
+      }
+    case k: CKCIndex =>
+      val ss = slotsOfName(k.name)
+      bs => { val b = findBind(bs, ss); b != null && k.evalList(b.evs) }
+    case k: CKCValue =>
+      val ss = slotsOfName(k.name)
+      bs => { val b = findBind(bs, ss); b != null && k.evalList(b.evs) }
+    case k: CKCFn =>
+      val ss = slotsOfName(k.name)
+      bs => { val b = findBind(bs, ss); b != null && k.fn(b.evs) }
+    case cs: CSimple => bs => cs.eval(buildBinding(bs))
+  }
+
+  private val condsByNode: Array[Array[Vector[Bind] => Boolean]] =
+    Array.tabulate(n)(id => nodeConds.getOrElse(id, Nil).map(compileCond).toArray)
+
+  private def compileKcCond(c: Cond): List[Ev] => Boolean = c match {
+    case k: CKCIndex => k.evalList
+    case k: CKCValue => k.evalList
+    case k: CKCFn    => k.fn
+    case other       => evs => other.eval(kcNamesBySlot.valuesIterator
+      .flatten.map(_ -> evs).toMap) // unreachable: only KC conds are placed on KC nodes
+  }
+
+  private val kcCondsByNode: Array[Array[List[Ev] => Boolean]] =
+    Array.tabulate(n)(id => kcNodeConds.getOrElse(id, Nil).map(compileKcCond).toArray)
   private val pending = ArrayBuffer.empty[PM] // parked at firstUnboundedId
   /** nodeId -> already-reported events under single/next policy, with minTs for expiry
     * (/root/reference/tree/nodes/Node.py:133-160). */
@@ -78,9 +143,9 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch]) exte
       leaves.foreach { leaf =>
         if (!frozen(leaf.name)) {
           expire(leaf.id, e.ts)
-          val bind = Bind(leaf.slot, leaf.name, List(e))
-          if (evalConds(nodeConds.getOrElse(leaf.id, Nil), Vector(bind)))
-            propagate(leaf.id, PM(Vector(bind), e.prob), skipPark = false)
+          val binds = Vector(Bind(leaf.slot, leaf.name, List(e)))
+          if (evalConds(leaf.id, binds))
+            propagate(leaf.id, PM(binds, e.prob), skipPark = false)
           if (freezeMap.contains(leaf.name)) freezers ::= (leaf.name, e)
         }
       }
@@ -170,13 +235,11 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch]) exte
         if (members.length >= k.minSize) {
           val evs = members.iterator.flatMap(_.binds.iterator.flatMap(_.evs)).toList
           val prob = members.foldLeft(-1.0)((p, m) => Joint.prob(p, m.prob))
-          val bind = Bind(k.bindSlot, nameBySlot(k.bindSlot), evs)
-          lazy val kcBinding: Map[String, List[Ev]] =
-            kcNamesBySlot(k.bindSlot).iterator.map(_ -> evs).toMap
+          val binds = Vector(Bind(k.bindSlot, nameBySlot(k.bindSlot), evs))
           if (evs.last.ts - evs.head.ts <= windowMicros &&
-            kcNodeConds.getOrElse(k.id, Nil).forall(_.eval(kcBinding)) &&
-            evalConds(nodeConds.getOrElse(k.id, Nil), Vector(bind)))
-            propagate(k.id, PM(Vector(bind), prob), skipPark = false)
+            kcCondsByNode(k.id).forall(_(evs)) &&
+            evalConds(k.id, binds))
+            propagate(k.id, PM(binds, prob), skipPark = false)
         }
       }
     case ng: NegSpec =>
@@ -230,25 +293,32 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch]) exte
         i += 1
       }
     }
-    // duplicate events are not allowed in a match
-    val seen = mutable.HashSet.empty[Long]
+    // duplicate events are not allowed in a match; bind lists are tiny, so a quadratic
+    // scan beats a HashSet allocation per candidate pair
     var i = 0
     while (i < merged.length) {
       var es = merged(i).evs
       while (es.nonEmpty) {
-        if (!seen.add(es.head.idx)) return false
+        val idx = es.head.idx
+        var j = 0
+        while (j < merged.length) {
+          if (j != i && merged(j).evs.exists(_.idx == idx)) return false
+          j += 1
+        }
         es = es.tail
+        // duplicates inside one bind are impossible (one KC subset never repeats an event)
       }
       i += 1
     }
-    evalConds(nodeConds.getOrElse(nodeId, Nil), merged)
+    evalConds(nodeId, merged)
   }
 
-  private def evalConds(cs: List[Cond], binds: Vector[Bind]): Boolean =
-    cs.isEmpty || {
-      val binding = buildBinding(binds)
-      cs.forall(_.eval(binding))
-    }
+  private def evalConds(nodeId: Int, binds: Vector[Bind]): Boolean = {
+    val fs = condsByNode(nodeId)
+    var i = 0
+    while (i < fs.length) { if (!fs(i)(binds)) return false; i += 1 }
+    true
+  }
 
   /** Binding for condition evaluation: name -> bound events. A bind at a KC bind-slot maps
     * all KC child names to the (possibly aggregated) event list; the raw leaf bind inside

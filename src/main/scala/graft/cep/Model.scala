@@ -44,11 +44,12 @@ final case class Bind(slot: Int, name: String, evs: List[Ev]) {
 /**
  * A partial match: binds kept sorted by slot. Mirrors the reference's `PatternMatch`
  * (/root/reference/base/PatternMatch.py:11-21) with first/last timestamps and joint
- * probability (-1.0 = deterministic).
+ * probability (-1.0 = deterministic). Timestamps computed once at construction — they are
+ * probed on every expiry check and candidate-pair validation.
  */
 final case class PM(binds: Vector[Bind], prob: Double = -1.0) {
-  def firstTs: Long = { var m = Long.MaxValue; binds.foreach(b => if (b.minTs < m) m = b.minTs); m }
-  def lastTs: Long = { var m = Long.MinValue; binds.foreach(b => if (b.maxTs > m) m = b.maxTs); m }
+  val firstTs: Long = { var m = Long.MaxValue; binds.foreach(b => if (b.minTs < m) m = b.minTs); m }
+  val lastTs: Long = { var m = Long.MinValue; binds.foreach(b => if (b.maxTs > m) m = b.maxTs); m }
 }
 
 /** An emitted full match. `patternId` tags multi-pattern output (SURVEY.md §2.6). */

@@ -36,7 +36,16 @@ object Transcripts {
   def generate(nConvs: Int, seed: Long = 42L, hotShare: Double = 0.3): Seq[Turn] =
     (0 until nConvs).flatMap(c => genConv(c, seed, nConvs, hotShare))
 
-  private def genConv(c: Int, seed: Long, nConvs: Int, hotShare: Double): Seq[Turn] = {
+  /** Distributed generation: per-conversation determinism lets executors generate
+    * independently — no driver-side materialization at bench scale. */
+  def generateDs(spark: SparkSession, nConvs: Int, seed: Long = 42L,
+                 hotShare: Double = 0.3): Dataset[Turn] = {
+    import spark.implicits._
+    spark.range(0, nConvs, 1, math.min(nConvs, 256))
+      .flatMap(c => genConv(c.toInt, seed, nConvs, hotShare))
+  }
+
+  def genConv(c: Int, seed: Long, nConvs: Int, hotShare: Double): Seq[Turn] = {
     val r = new Random(seed * 1000003L + c)
     val convId = f"conv-$c%05d"
     val baseTurns = 3 + r.nextInt(58)

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deduplication operators for training-data pipelines over `documents`.
+ *
+ * Scale notes (the 100 TB story):
+ *  - exact dedup groups on a 128-bit fingerprint, never the full text — the shuffle carries
+ *    16 bytes + doc_id per row instead of document bodies;
+ *  - n-gram / MinHash / SimHash all follow the same shape: narrow per-doc signature ->
+ *    shuffle only (signature, doc_id) pairs -> candidate-pair join -> verify. The verify
+ *    join is self-equi-join on banded signatures, so Spark plans a shuffle hash join keyed
+ *    on small fixed-width keys; document text is only re-joined for the surviving pairs.
+ */
+object Dedup {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Exact dedup: keep the smallest doc_id per normalized-content fingerprint. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = md5(encode(regexp_replace(lower(col("text")), "\\s+", " "), "UTF-8"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), fp.as("fp"))
+      .groupBy(col("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, gram). The base signature for
+    * n-gram Jaccard and MinHash. */
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val words = split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+")
+    docs(spark, sfDir)
+      .select(col("doc_id"), filter(words, w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= n) // sequence() would run descending below n words
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n))))).as("gram"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup pairs: shingle-join candidates, exact Jaccard >= minSim.
+    * Output carries integer intersection/union (hash-stable across engines). */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String, minSim: Double = 0.4): DataFrame = {
+    val sh = shingles(spark, sfDir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "a_n"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "b_n"), "b_id")
+      .withColumn("n_union", col("a_n") + col("b_n") - col("n_common"))
+      .filter(col("n_common").cast("double") / col("n_union").cast("double") >= minSim)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"))
+  }
+
+  /** Deterministic 64-bit polynomial hash of a string (FNV-1a), as a Catalyst expression
+    * would compute it; used for MinHash/SimHash signatures. Kept in Scala (not Spark's
+    * `hash()`) so signatures are stable across Spark versions. */
+  private[ops] def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private val minhashUdf = {
+    val AS = (1 to 32).map(i => 0x9e3779b97f4a7c15L * i | 1L).toArray
+    val BS = (1 to 32).map(i => 0xc2b2ae3d27d4eb4fL * i | 1L).toArray
+    udf { grams: Seq[String] =>
+      val hs = grams.map(fnv1a)
+      AS.indices.map { k =>
+        var m = Long.MaxValue
+        hs.foreach { h => val v = AS(k) * h + BS(k); if (v < m) m = v }
+        m
+      }
+    }
+  }
+
+  /** MinHash + LSH banding: 32 hashes, 8 bands x 4 rows. Docs sharing any band bucket are
+    * candidates; candidates verified by exact shingle Jaccard >= minSim. The banded join
+    * shuffles only (band, bucket-hash, doc_id). */
+  def minhashLshPairs(spark: SparkSession, sfDir: String, minSim: Double = 0.4): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val sigs = sh.groupBy("doc_id").agg(collect_list("gram").as("grams"))
+      .select(col("doc_id"), minhashUdf(col("grams")).as("sig"))
+    val bands = sigs.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(7)), b => hash(slice(col("sig"), b * lit(4) + lit(1), lit(4))))))
+      .toDF("doc_id", "band", "bucket")
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+    // verify candidates with exact Jaccard (semi-join back to shingles)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    cands.join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.gram") === col("sb.gram"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "a_n"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "b_n"), "b_id")
+      .filter(col("n_common").cast("double") /
+        (col("a_n") + col("b_n") - col("n_common")).cast("double") >= minSim)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  private val simhashUdf = udf { grams: Seq[String] =>
+    val acc = new Array[Int](64)
+    grams.foreach { g =>
+      val h = fnv1a(g)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per doc, pairs within `maxHamming`.
+    * Pair generation blocks on the four 16-bit signature quarters (any pair within
+    * hamming<=3 shares at least one exact quarter), so no full cross join. */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val sigs = sh.groupBy("doc_id").agg(collect_list("gram").as("grams"))
+      .select(col("doc_id"), simhashUdf(col("grams")).as("sig"))
+    val quarters = array((0 until 4).map(q => struct(
+      lit(q).as("q"),
+      shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xffffL)).as("quarter"))): _*)
+    val blocks = sigs.select(col("doc_id"), col("sig"), explode(quarters).as("qq"))
+      .select(col("doc_id"), col("sig"), col("qq.q").as("q"), col("qq.quarter").as("quarter"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.q") === col("y.q") && col("x.quarter") === col("y.quarter") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

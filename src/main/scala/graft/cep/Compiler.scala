@@ -68,9 +68,19 @@ final case class CompiledPattern(
     parentOf: IndexedSeq[Int],    // by id; -1 for root
     firstUnboundedId: Int,        // -1 if no unbounded negation
     relevantTypes: Set[String]) extends Serializable {
-  /** Positive leaves + negative leaves, in DFS id order, for event routing. */
-  @transient lazy val leavesByType: Map[String, IndexedSeq[LeafSpec]] =
-    nodes.collect { case l: LeafSpec => l }.groupBy(_.etype)
+  /** Leaves in final-tree traversal order (positive subtree first, negation leaves after —
+    * the reference's event_types_listeners order, /root/reference/tree/Tree.py:59-67 via
+    * get_leaves). The order is observable when one event plays on several leaves of the
+    * same type: it decides which buffers are populated when later leaves probe them. */
+  @transient lazy val leavesByType: Map[String, IndexedSeq[LeafSpec]] = {
+    def leaves(s: Spec): Vector[LeafSpec] = s match {
+      case l: LeafSpec => Vector(l)
+      case b: BinSpec  => leaves(b.left) ++ leaves(b.right)
+      case k: KCSpec   => leaves(k.child)
+      case n: NegSpec  => leaves(n.pos) ++ leaves(n.neg)
+    }
+    leaves(root).groupBy(_.etype)
+  }
 }
 
 object Compiler {

@@ -136,7 +136,12 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch]) exte
 
   // ---- event intake ------------------------------------------------------------------
 
+  /** Serial of the event currently being fed; aggregate identities derive from it
+    * (see Bind.aggId). */
+  private var curIdx: Long = -1L
+
   def feed(e: Ev): Unit = {
+    curIdx = e.idx
     if (freezeMap.nonEmpty)
       freezers = freezers.filter { case (_, f) => e.ts - f.ts <= windowMicros }
     cp.leavesByType.get(e.etype).foreach { leaves =>
@@ -235,7 +240,8 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch]) exte
         if (members.length >= k.minSize) {
           val evs = members.iterator.flatMap(_.binds.iterator.flatMap(_.evs)).toList
           val prob = members.foldLeft(-1.0)((p, m) => Joint.prob(p, m.prob))
-          val binds = Vector(Bind(k.bindSlot, nameBySlot(k.bindSlot), evs))
+          // aggregate identity = next-event serial at creation time (see Bind.aggId)
+          val binds = Vector(Bind(k.bindSlot, nameBySlot(k.bindSlot), evs, aggId = curIdx + 1))
           if (evs.last.ts - evs.head.ts <= windowMicros &&
             kcCondsByNode(k.id).forall(_(evs)) &&
             evalConds(k.id, binds))
@@ -293,20 +299,34 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch]) exte
         i += 1
       }
     }
-    // duplicate events are not allowed in a match; bind lists are tiny, so a quadratic
-    // scan beats a HashSet allocation per candidate pair
+    // Duplicate-identity rejection, mirroring the reference's set-of-events check
+    // (/root/reference/tree/nodes/InternalNode.py:28-30) under its identity model: a plain
+    // bind's identity is its event serial, an aggregate's identity is its aggId (Bind.aggId
+    // scaladoc) — aggregates' PRIMITIVE members are deliberately NOT compared. Bind lists
+    // are tiny, so a quadratic scan beats a HashSet allocation per candidate pair.
+    def identityClash(id: Long, skip: Int): Boolean = {
+      var j = 0
+      while (j < merged.length) {
+        if (j != skip) {
+          val b = merged(j)
+          if (b.aggId >= 0) { if (b.aggId == id) return true }
+          else if (b.evs.exists(_.idx == id)) return true
+        }
+        j += 1
+      }
+      false
+    }
     var i = 0
     while (i < merged.length) {
-      var es = merged(i).evs
-      while (es.nonEmpty) {
-        val idx = es.head.idx
-        var j = 0
-        while (j < merged.length) {
-          if (j != i && merged(j).evs.exists(_.idx == idx)) return false
-          j += 1
+      val b = merged(i)
+      if (b.aggId >= 0) {
+        if (identityClash(b.aggId, i)) return false
+      } else {
+        var es = b.evs
+        while (es.nonEmpty) {
+          if (identityClash(es.head.idx, i)) return false
+          es = es.tail
         }
-        es = es.tail
-        // duplicates inside one bind are impossible (one KC subset never repeats an event)
       }
       i += 1
     }

@@ -34,11 +34,24 @@ final case class Ev(
  * pattern (the reference's event-definition index), `evs` has length 1 for plain bindings and
  * length >= 1 for Kleene-closure bindings (the reference's `AggregatedEvent`,
  * /root/reference/base/Event.py:47-64: min_timestamp = first element, max = last element).
+ *
+ * `aggId` (-1 for plain binds) reproduces a parity-defining identity quirk of the reference:
+ * an AggregatedEvent's identity is `Event.counter` AT CREATION TIME — i.e. the serial of the
+ * NEXT event to arrive — without incrementing it (/root/reference/base/Event.py:53-57).
+ * Consequently (verified by executing the reference):
+ *  (a) a Kleene aggregate collides with the next arriving event, so the duplicate-event check
+ *      rejects matches pairing an aggregate with the event that arrived right after its
+ *      newest member (e.g. SEQ(KC(A), B) over [A0, A1, B2] yields ONLY ([A0], B2));
+ *  (b) the duplicate check never compares an aggregate's PRIMITIVE events, so the same
+ *      primitive may appear both inside an aggregate and as a plain binding
+ *      (SEQ(KC(A), A) over [A0] yields ([A0], A0)).
+ * We mirror this with aggId = (idx of the event whose arrival created the aggregate) + 1,
+ * exact whenever idx is the per-key arrival serial (transcripts' turn_idx; test streams).
  */
-final case class Bind(slot: Int, name: String, evs: List[Ev]) {
+final case class Bind(slot: Int, name: String, evs: List[Ev], aggId: Long = -1L) {
   def minTs: Long = evs.head.ts
   def maxTs: Long = evs.last.ts
-  def isKC: Boolean = evs.lengthCompare(1) > 0
+  def isKC: Boolean = aggId >= 0
 }
 
 /**

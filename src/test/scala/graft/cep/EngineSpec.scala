@@ -95,23 +95,27 @@ class EngineSpec extends AnyFunSuite {
     assert(cepRun(p, Seq(ev("A", 1, 1), ev("C", 2, 2))).size == 1)
   }
 
-  test("Kleene closure emits every subset containing each newest event") {
+  test("Kleene closure: subsets limited by the aggregate-identity quirk (reference-verified)") {
     val p = Pattern(SEQ(KC(P("A", "a")), P("B", "b")), CTrue, 60 * MIN)
     val ms = cepRun(p, Seq(ev("A", 1, 1), ev("A", 2, 2), ev("B", 3, 3)))
-    // subsets of {a1, a2}: [1], [2], [1,2] each followed by b
-    assert(idxSets(ms) == Set(
-      List(List(1L), List(3L)),
-      List(List(2L), List(3L)),
-      List(List(1L, 2L), List(3L))))
+    // aggregates [2] and [1,2] are created while feeding a2, so their identity equals b3's
+    // serial -> the duplicate check kills those pairings; the reference emits ONLY ([1], b3)
+    assert(idxSets(ms) == Set(List(List(1L), List(3L))))
   }
 
-  test("Kleene min/max size bounds") {
+  test("Kleene min/max size bounds (reference-verified)") {
     val p = Pattern(SEQ(KC(P("A", "a"), min = 2, max = 2), P("B", "b")), CTrue, 60 * MIN)
     val ms = cepRun(p, Seq(ev("A", 1, 1), ev("A", 2, 2), ev("A", 3, 3), ev("B", 4, 4)))
-    assert(idxSets(ms) == Set(
-      List(List(1L, 2L), List(4L)),
-      List(List(1L, 3L), List(4L)),
-      List(List(2L, 3L), List(4L))))
+    // [1,3] and [2,3] get aggregate identity 4 == b4's serial -> rejected (reference behavior)
+    assert(idxSets(ms) == Set(List(List(1L, 2L), List(4L))))
+  }
+
+  test("Kleene aggregate may repeat a primitive bound elsewhere (reference-verified)") {
+    // SEQ(KC(A), A) over a single event: the aggregate's identity differs from the event's,
+    // so the same primitive legally appears twice (reference probe: [[0],[0]])
+    val p = Pattern(SEQ(KC(P("A", "k")), P("A", "b")), CTrue, 60 * MIN)
+    val ms = cepRun(p, Seq(ev("A", 1, 0)))
+    assert(idxSets(ms) == Set(List(List(0L), List(0L))))
   }
 
   test("KC value condition (all items) filters subsets") {
@@ -122,14 +126,15 @@ class EngineSpec extends AnyFunSuite {
     assert(idxSets(ms) == Set(List(List(1L), List(3L))))
   }
 
-  test("KC index offset condition: ascending chain") {
+  test("KC index offset condition: ascending chain (reference-verified)") {
     val p = Pattern(
       SEQ(KC(P("A", "a")), P("B", "b")),
       CKCIndex("a", _.num, _ < _, useOffset = true, offset = 1), 60 * MIN)
     val ms = cepRun(p, Seq(ev("A", 1, 1, num = 1), ev("A", 2, 2, num = 5), ev("A", 3, 3, num = 3), ev("B", 4, 4)))
-    // offset >= list length returns false (/root/reference/condition/KCCondition.py:100-102),
-    // so singletons are excluded; ascending pairs only: [1,2] (1<5), [1,3] (1<3), NOT [2,3] (5>3)
-    assert(idxSets(ms).map(_.head) == Set(List(1L, 2L), List(1L, 3L)))
+    // singletons fail (offset >= length, /root/reference/condition/KCCondition.py:100-102);
+    // [2,3] fails the condition (5>3); [1,3] is killed by the aggregate-identity quirk
+    // (identity 4 == b4); the reference emits ONLY ([1,2], b4)
+    assert(idxSets(ms).map(_.head) == Set(List(1L, 2L)))
   }
 
   test("cross-event condition: b.num > a.num") {

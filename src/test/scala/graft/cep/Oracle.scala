@@ -112,9 +112,16 @@ object Oracle {
       all.map(_.ts).max - all.map(_.ts).min <= p.windowMicros
     }
 
+    /** Identity model mirroring the reference (see Bind.aggId scaladoc): plain slots
+      * contribute their event serials; a KC slot contributes ONLY its aggregate identity =
+      * (idx of its newest-by-feed-order member) + 1. */
+    val kcSlotSet = slots.filter(_.kc).map(_.slot).toSet
     def distinctOk(binds: Map[Int, List[Ev]]): Boolean = {
-      val all = binds.values.flatten.map(_.idx).toList
-      all.distinct.length == all.length
+      val ids = binds.iterator.flatMap { case (s, l) =>
+        if (kcSlotSet(s)) Iterator.single(l.map(e => (e.ts, e.idx)).max._2 + 1)
+        else l.iterator.map(_.idx)
+      }.toList
+      ids.distinct.length == ids.length
     }
 
     def binding(binds: Map[Int, List[Ev]]): Map[String, List[Ev]] =
@@ -130,10 +137,13 @@ object Oracle {
         val crossConds = conjuncts.filter(c =>
           c.names.contains(ns.name) && c.names.subsetOf(posNames + ns.name))
         byType(ns.etype).exists { b =>
-          !matchEvents.exists(_.idx == b.idx) &&
           (ns.unboundedNeg || tupOrd.lt(feedOrd(b), lastFeed)) && {
             val merged = binds + (ns.slot -> List(b))
-            windowOk(merged) && seqOk(merged) && crossConds.forall(_.eval(binding(merged)))
+            // distinctOk applies the reference's identity model: a negative whose serial
+            // collides with a match event (or an aggregate's identity) fails the merged
+            // duplicate check and therefore cannot invalidate
+            windowOk(merged) && seqOk(merged) && distinctOk(merged) &&
+              crossConds.forall(_.eval(binding(merged)))
           }
         }
       }

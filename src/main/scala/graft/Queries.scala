@@ -6,7 +6,7 @@ import graft.cep._
 import graft.cep.PStruct._
 import graft.cep.spark.{BatchEvaluator, Rip}
 import graft.io.EventsTable
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 
 /**
  * Driver-facing query catalog over the /root/testdata tables. Each query has a stable
@@ -135,4 +135,10 @@ object Queries {
   def fingerprint(s: SparkSession, dir: String): DataFrame = TextOps.fingerprint(s, dir)
   def cosineTop1(s: SparkSession, dir: String): DataFrame = Similarity.bruteTop1(s, dir)
   def cosineLsh(s: SparkSession, dir: String): DataFrame = Similarity.lshTop1(s, dir)
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = Multimodal.mediaMeta(s, dir)
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaFeatures(s, dir).drop("features") // arrays of float are JVM-side only
+      .withColumn("frames", org.apache.spark.sql.functions.col("frames").cast("long"))
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.mediaTable(s, dir))
 }

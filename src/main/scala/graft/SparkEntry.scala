@@ -35,7 +35,11 @@ object SparkEntry {
     "t_lang_id" -> (Queries.langId _),
     "t_fingerprint" -> (Queries.fingerprint _),
     "s_cosine_top1" -> (Queries.cosineTop1 _),
-    "s_cosine_lsh" -> (Queries.cosineLsh _))
+    "s_cosine_lsh" -> (Queries.cosineLsh _),
+    // multimodal plumbing (binary payload + typed metadata; stubbed decode)
+    "m_media_meta" -> (Queries.mediaMeta _),
+    "m_media_features" -> (Queries.mediaFeatures _),
+    "m_frame_sample" -> (Queries.frameSample _))
 
   /** DuckDB oracles. Omitted for hash-signature ops (d_minhash_pairs, d_simhash_pairs,
     * s_cosine_lsh, cep_kleene) whose signatures are not SQL-replicable -> rows-only check;
@@ -168,6 +172,11 @@ object SparkEntry {
         |FROM s""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "m_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes, md5(text) AS sha
         |FROM documents""".stripMargin,
     "s_cosine_top1" ->
       """WITH s AS (

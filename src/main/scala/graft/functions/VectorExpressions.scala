@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftfn.DotProduct
+
+/** Public registration/API surface for the custom vector expressions
+  * (see org.apache.spark.sql.graftfn.DotProduct). */
+object VectorFunctions {
+
+  /** Register `dot_product` in the session's function registry so it is usable from both
+    * the Column API (via call_function) and SQL. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+  }
+
+  /** Column-API sugar: registers on first use, then resolves through the registry. */
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("dot_product", a, b)
+  }
+}

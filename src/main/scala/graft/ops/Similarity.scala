@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
 
 /**
  * Approximate-nearest-neighbor search over the `embeddings` table (embedding:
@@ -15,17 +16,20 @@ import org.apache.spark.sql.expressions.Window
  *  - [[lshTop1]]: random-hyperplane LSH buckets (sign sketch) — candidates only within a
  *    bucket, linear shuffle volume, the scale path. Recall traded via number of planes.
  *
- * Dot products are computed with `zip_with`/`aggregate` over doubles — codegen'd Catalyst
- * expressions, no Python/JVM UDF in the hot loop.
+ * Dot products use [[graft.functions.DotProduct]] — a native Catalyst expression with
+ * doGenCode, so the pair loop stays inside whole-stage codegen (the built-in
+ * aggregate/zip_with higher-order functions are interpreted per element).
  */
 object Similarity {
 
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+  private def emb(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
 
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -50,24 +54,31 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
 
-  /** LSH (random hyperplane sign sketch) top-1: bucket by `nPlanes` sign bits, search only
-    * within buckets. Approximate — vectors alone in their bucket get no neighbor. */
-  def lshTop1(spark: SparkSession, sfDir: String, nPlanes: Int = 8): DataFrame = {
+  /** LSH (random hyperplane sign sketch) top-1: `nTables` independent hash tables of
+    * `planesPerTable` sign bits each; candidate pairs share a bucket in ANY table (multi-
+    * table banding, same trick as MinHash LSH — a single table's all-bits-agree event is
+    * too rare for useful recall). Shuffle volume stays linear: (table, bucket, vec_id). */
+  def lshTop1(spark: SparkSession, sfDir: String, nTables: Int = 4, planesPerTable: Int = 4): DataFrame = {
     val e = withNorm(emb(spark, sfDir))
-    val planes = (0 until nPlanes).map { p =>
-      val comps = (0 until 64).map(d => lit(planeComponent(p, d)))
-      val proj = (0 until 64).map(d => element_at(col("v"), d + 1) * comps(d)).reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    // plane projection via the codegen'd dot_product against a literal plane vector —
+    // inlining 64 element_at terms per plane overflows janino's method-size limit
+    def bucketCol(table: Int) = (0 until planesPerTable).map { j =>
+      val p = table * planesPerTable + j
+      val plane = typedLit((0 until 64).map(d => planeComponent(p, d)))
+      when(dot(col("v"), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val bucketed = e.withColumn("bucket", planes)
-    val sims = bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+    val tables = e.select(col("vec_id"), col("v"), col("norm"),
+      explode(array((0 until nTables).map(t => struct(lit(t).as("t"), bucketCol(t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("norm"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cands = tables.as("a").join(tables.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
       .select(
-        col("a.vec_id").as("vec_id"),
-        col("b.vec_id").as("nn_id"),
+        col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
         (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("sim"))
+      .dropDuplicates("vec_id", "nn_id")
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
-    sims.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    cands.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("vec_id"), col("nn_id"))
   }
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cep.spark.{CepMetrics, Instrumented, SparkT}
+import graft.io.Transcripts
+
+class OpsSpec extends AnyFunSuite {
+  import SparkT.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("multimodal: batched stub decode preserves every row with stable features") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val n = media.count()
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == n)
+    assert(feats.forall(_.features.length == Multimodal.FEATURE_DIM))
+    assert(feats.forall(_.sha.length == 32))
+    // determinism: same input -> identical features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.sortBy(_.media_id).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
+  }
+
+  test("multimodal: frame sampling emits stride-spaced frames for video rows") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val frames = Multimodal.sampleFrames(media, stride = 4).collect()
+    assert(frames.nonEmpty)
+    val byMedia = frames.groupBy(_.getLong(0))
+    byMedia.values.foreach { fs =>
+      val nos = fs.map(_.getInt(1)).sorted
+      assert(nos.head == 0 && nos.sliding(2).forall { case Array(a, b) => b - a == 4; case _ => true })
+    }
+  }
+
+  test("similarity: LSH top1 is a subset-quality approximation of brute top1") {
+    val brute = Similarity.bruteTop1(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshTop1(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh.nonEmpty)
+    val agree = lsh.count { case (v, nn) => brute.get(v).contains(nn) }
+    // random-hyperplane buckets on random embeddings: expect meaningful (not perfect) recall
+    assert(agree.toDouble / lsh.size > 0.2, s"agreement ${agree}/${lsh.size}")
+  }
+
+  test("dedup: minhash LSH pairs are exactly the >=0.4-Jaccard pairs it verifies") {
+    val viaLsh = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH output is verified-exact, so it must be a subset of the exact pair set
+    assert(viaLsh.subsetOf(exact), s"false positives: ${viaLsh -- exact}")
+  }
+
+  test("instrumented evaluation: per-partition lineage accounts for all events and matches") {
+    val patterns = Seq(SparkT.flagship)
+    val evs = Transcripts.toEv(Transcripts.toDs(spark, Transcripts.generate(nConvs = 10)))
+    val metrics = new CepMetrics(spark)
+    val ms = Instrumented.evaluate(evs, patterns, metrics).collect()
+    val plain = graft.cep.spark.BatchEvaluator.evaluate(evs, patterns).collect()
+    assert(SparkT.canon(ms.toSeq) == SparkT.canon(plain.toSeq))
+    assert(metrics.matchesOut.value == ms.length)
+    val lineage = metrics.summary
+    assert(lineage.values.map(_._3).sum == ms.length, s"lineage: $lineage")
+    assert(lineage.values.map(_._1).sum == 10) // all conversations accounted for
+  }
+}

@@ -53,30 +53,56 @@ object Bench {
     spark.stop()
 
     // --- part 2: CEP scaling ------------------------------------------------------------
-    val patterns = Seq(
-      graft.cep.spark.SparkPatterns.flagship.copy(id = 0),
-      graft.cep.spark.SparkPatterns.negation.copy(id = 1),
-      graft.cep.spark.SparkPatterns.kleene.copy(id = 2))
+    // Each measurement runs in a FRESH forked JVM (same-JVM session sequences distort
+    // local[n] timings by up to 20x via accumulated heap/GC state), repetitions of the two
+    // levels are INTERLEAVED in time, and the min per level is kept — this VM suffers
+    // bursty host CPU-steal, so co-scheduling the levels keeps the comparison fair.
+    final case class LevelResult(n: Long, matches: Long, plain: Double, salted: Double)
+    val resultRe = """RESULT cores=(\d+) n=(\d+) matches=(\d+) plain=([0-9.]+) salted=([0-9.]+)""".r
 
-    /** One session per parallelism level: JIT warmup run first, then min-of-2 per mode —
-      * this VM shows heavy host CPU-steal, so single measurements are unreliable. */
-    def cepLevel(cores: Int): (Long, Long, Long, Double, Double) = {
-      val s = session(cores)
-      val turns = Transcripts.generateDs(s, benchConvs).cache()
-      val nTurns = turns.count() // materialize input outside the timed section
-      val evs = Transcripts.toEv(turns)
-      def plain() = time(BatchEvaluator.evaluate(evs, patterns).count())
-      def salted() = time(Rip.evaluateSalted(evs, patterns, paneMicros = 20L * 60 * 1000000).count())
-      plain() // warmup (JIT both the relational prefix and the engine)
-      val (mPlain, tPlain) = Seq(plain(), plain()).minBy(_._2)
-      val (mSalted, tSalted) = Seq(salted(), salted()).minBy(_._2)
-      turns.unpersist()
-      s.stop()
-      (nTurns, mPlain, mSalted, tPlain, tSalted)
+    def stealJiffies(): (Long, Long) = {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cols = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (cols(7), cols.sum) // (steal, total)
+      } finally f.close()
     }
 
-    val (n8, _, _, t8, t8s) = cepLevel(8)
-    val (n32, m32, m32s, t32, t32s) = cepLevel(32)
+    def forkLevel(cores: Int): LevelResult = {
+      val java = s"${System.getProperty("java.home")}/bin/java"
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+        "java.base/java.io", "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+        "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
+        "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(java) ++ opens ++ Seq(
+        "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchLevel", cores.toString, benchConvs.toString)
+      val out = new StringBuilder
+      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val src = scala.io.Source.fromInputStream(proc.getInputStream)
+      src.getLines().foreach(l => if (l.startsWith("RESULT")) out.append(l))
+      proc.waitFor()
+      out.toString match {
+        case resultRe(_, n, m, p, sl) => LevelResult(n.toLong, m.toLong, p.toDouble, sl.toDouble)
+        case other => throw new IllegalStateException(s"bench child failed: $other")
+      }
+    }
+
+    val (steal0, total0) = stealJiffies()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val runs8 = scala.collection.mutable.ArrayBuffer.empty[LevelResult]
+    val runs32 = scala.collection.mutable.ArrayBuffer.empty[LevelResult]
+    (1 to reps).foreach { _ => runs8 += forkLevel(8); runs32 += forkLevel(32) }
+    val (steal1, total1) = stealJiffies()
+    val stealPct = 100.0 * (steal1 - steal0) / math.max(1, total1 - total0)
+
+    val n8 = runs8.head.n; val n32 = runs32.head.n
+    val t8 = runs8.map(_.plain).min; val t8s = runs8.map(_.salted).min
+    val t32 = runs32.map(_.plain).min; val t32s = runs32.map(_.salted).min
+    val m32 = runs32.head.matches; val m32s = m32 // child asserts equal counts per mode
 
     val thr8 = n8 / t8; val thr32 = n32 / t32
     val thr8s = n8 / t8s; val thr32s = n32 / t32s
@@ -94,6 +120,7 @@ object Bench {
         s""""cep_turns":$n32,"cep_matches_plain":$m32,"cep_matches_salted":$m32s,""" +
         s""""cep_throughput_8":${thr8.toLong},"cep_throughput_32":${thr32.toLong},""" +
         s""""cep_salted_throughput_8":${thr8s.toLong},"cep_salted_throughput_32":${thr32s.toLong},""" +
-        f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_salted":$effSalted%.3f}""")
+        f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_salted":$effSalted%.3f,""" +
+        f""""host_cpu_steal_pct":$stealPct%.1f}""")
   }
 }

@@ -231,9 +231,20 @@ object Compiler {
 
     // 6. consumption policies: MATCH_SINGLE at root for listed types
     //    (/root/reference/misc/ConsumptionPolicy.py:76-88 with the default MATCH_SINGLE
-    //    secondary strategy; registration /root/reference/tree/Tree.py:35-37)
-    val singleAt: Map[Int, Set[String]] =
-      if (p.policy.single.isEmpty) Map.empty else Map(root0.id -> p.policy.single)
+    //    secondary strategy; registration /root/reference/tree/Tree.py:35-37);
+    //    MATCH_NEXT at each listed type's leaf parent, propagated to its ancestors
+    //    (/root/reference/tree/Tree.py:117-118, /root/reference/tree/nodes/Node.py:301-308)
+    val singleAt: Map[Int, Set[String]] = {
+      val acc = mutable.HashMap.empty[Int, Set[String]].withDefaultValue(Set.empty)
+      if (p.policy.single.nonEmpty) acc(root0.id) = acc(root0.id) ++ p.policy.single
+      if (p.policy.next.nonEmpty) nodes.foreach {
+        case l: LeafSpec if p.policy.next.contains(l.etype) =>
+          var n = parentOf(l.id)
+          while (n >= 0) { acc(n) = acc(n) + l.etype; n = parentOf(n) }
+        case _ => ()
+      }
+      acc.toMap
+    }
 
     // 7. freeze map over flat sequences
     //    (/root/reference/tree/evaluation/TreeBasedEvaluationMechanism.py:173-190)

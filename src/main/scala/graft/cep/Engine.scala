@@ -18,10 +18,10 @@ import scala.collection.mutable.ArrayBuffer
  * batch evaluator (flatMapGroups), the streaming evaluator (flatMapGroupsWithState,
  * via snapshot/restore), and unit tests.
  */
-final class MatchEngine(patterns: IndexedSeq[CompiledPattern]) extends Serializable {
+final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0) extends Serializable {
 
   private val out = ArrayBuffer.empty[CepMatch]
-  private val rts = patterns.map(new PatternRuntime(_, out))
+  private val rts = patterns.map(new PatternRuntime(_, out, shedCap))
   private val allTypes: Set[String] = patterns.iterator.flatMap(_.relevantTypes).toSet
 
   /** Feed one event (in (ts, idx) order); returns matches completed by this event. */
@@ -56,8 +56,13 @@ final case class RuntimeState(
     freezers: Seq[(String, Ev)]) extends Serializable
 final case class FilteredEv(idx: Long, minTs: Long) extends Serializable
 
-/** Runtime evaluation state for one compiled pattern over one key. */
-final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch]) extends Serializable {
+/** Runtime evaluation state for one compiled pattern over one key.
+  * `shedCap` > 0 enables load shedding (/root/reference/tree/PatternMatchStorage.py:97-129,
+  * SURVEY.md §2.10): when a node buffer exceeds the cap, only the top-cap partial matches
+  * by utility (longer chains first, then more recent) are kept — bounded state at the cost
+  * of recall; NEVER enabled on the parity surface. */
+final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
+                           shedCap: Int = 0) extends Serializable {
   import cp._
 
   private val n = nodes.length
@@ -180,6 +185,7 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch]) exte
     if (!passSingle(id, pm)) return
     if (!skipPark && id == firstUnboundedId) { pending += pm; return }
     bufs(id) += pm
+    if (shedCap > 0 && bufs(id).length > shedCap) shed(id)
     val par = parentOf(id)
     if (par < 0) emit(pm)
     else handleNew(par, id, pm)
@@ -397,6 +403,15 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch]) exte
         res
       }
     }
+  }
+
+  /** Load shedding: keep the top-shedCap partial matches by utility — chain length
+    * (longer = closer to completion) then recency, a simplified version of the reference's
+    * utility score (/root/reference/base/PatternMatch.py:45-84). */
+  private def shed(id: Int): Unit = {
+    val kept = bufs(id).sortBy(pm => (-pm.binds.length, -pm.lastTs)).take(shedCap)
+    bufs(id).clear()
+    bufs(id) ++= kept.sortBy(_.firstTs) // restore arrival-ish order for probe determinism
   }
 
   /** Drop expired partial matches (first_ts < last_ts - window),

@@ -137,13 +137,18 @@ object Cond {
 /**
  * Consumption policies (/root/reference/misc/ConsumptionPolicy.py,
  * /root/reference/base/Pattern.py:151-182):
- *  - `single`: event types whose events may appear in at most one reported match.
+ *  - `single`: event types whose events may appear in at most one reported match
+ *    (MATCH_SINGLE — enforced at the root).
+ *  - `next`: event types whose events join at most one partial match at their leaf's parent
+ *    node and each ancestor (MATCH_NEXT — registration propagates up,
+ *    /root/reference/tree/Tree.py:117-118, /root/reference/tree/nodes/Node.py:301-308).
  *  - `contiguous`: groups of event names that must be adjacent in per-key arrival order
  *    (compiled into idx(b) == idx(a)+1 conditions).
  *  - `freeze`: while an event bound to this name is alive, no new sub-matches may start.
  */
 final case class Policy(
     single: Set[String] = Set.empty,
+    next: Set[String] = Set.empty,
     contiguous: List[List[String]] = Nil,
     freeze: Set[String] = Set.empty) extends Serializable
 

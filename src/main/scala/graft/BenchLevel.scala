@@ -11,19 +11,23 @@ object BenchLevel {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val convs = args(1).toInt
+    val hotShare = if (args.length > 2) args(2).toDouble else 0.3
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-level-$cores")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // tmpfs shuffle dirs: the CEP run's only shuffle is ~1 GB at bench scale; keeping it
+      // off the VM's virtual disk removes an I/O floor from the scaling measurement
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-shuffle"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val patterns = Seq(
       SparkPatterns.flagship.copy(id = 0),
       SparkPatterns.negation.copy(id = 1),
       SparkPatterns.kleene.copy(id = 2))
-    val turns = Transcripts.generateDs(spark, convs).cache()
+    val turns = Transcripts.generateDs(spark, convs, hotShare = hotShare).cache()
     val n = turns.count()
     val evs = Transcripts.toEv(turns)
     def run(salted: Boolean): (Long, Double) = {
@@ -34,9 +38,10 @@ object BenchLevel {
       (m, (System.nanoTime() - t0) / 1e9)
     }
     run(salted = false) // JIT warmup
-    val (m, tPlain) = Seq(run(false), run(false)).minBy(_._2)
-    val (_, tSalted) = Seq(run(true), run(true)).minBy(_._2)
-    println(f"RESULT cores=$cores n=$n matches=$m plain=$tPlain%.3f salted=$tSalted%.3f")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_LEVEL_REPS", "2").toInt
+    val (m, tPlain) = (1 to reps).map(_ => run(false)).minBy(_._2)
+    val (_, tSalted) = (1 to reps).map(_ => run(true)).minBy(_._2)
+    println(f"RESULT cores=$cores n=$n matches=$m plain=$tPlain%.3f salted=$tSalted%.3f hot=$hotShare%.2f")
     spark.stop()
   }
 }

@@ -68,6 +68,10 @@ final case class CompiledPattern(
     parentOf: IndexedSeq[Int],    // by id; -1 for root
     firstUnboundedId: Int,        // -1 if no unbounded negation
     relevantTypes: Set[String]) extends Serializable {
+  /** Compiled-once runtime helpers (condition evaluators); one instance per deserialized
+    * CompiledPattern, shared across all per-key runtimes in a task. */
+  @transient lazy val statics: PatternStatics = new PatternStatics(this)
+
   /** Leaves in final-tree traversal order (positive subtree first, negation leaves after —
     * the reference's event_types_listeners order, /root/reference/tree/Tree.py:59-67 via
     * get_leaves). The order is observable when one event plays on several leaves of the

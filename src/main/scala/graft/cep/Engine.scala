@@ -47,28 +47,14 @@ final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0)
   def restore(s: EngineState): Unit = rts.lazyZip(s.runtimes).foreach(_.restore(_))
 }
 
-/** Serializable state snapshot for streaming checkpoint/restore. */
-final case class EngineState(runtimes: Seq[RuntimeState]) extends Serializable
-final case class RuntimeState(
-    bufs: Seq[Seq[PM]],          // by node id
-    pending: Seq[PM],
-    filtered: Seq[(Int, Seq[FilteredEv])],
-    freezers: Seq[(String, Ev)]) extends Serializable
-final case class FilteredEv(idx: Long, minTs: Long) extends Serializable
-
-/** Runtime evaluation state for one compiled pattern over one key.
-  * `shedCap` > 0 enables load shedding (/root/reference/tree/PatternMatchStorage.py:97-129,
-  * SURVEY.md §2.10): when a node buffer exceeds the cap, only the top-cap partial matches
-  * by utility (longer chains first, then more recent) are kept — bounded state at the cost
-  * of recall; NEVER enabled on the parity surface. */
-final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
-                           shedCap: Int = 0) extends Serializable {
+/**
+ * Per-CompiledPattern runtime statics: slot-resolved condition evaluators. Built lazily
+ * once per deserialized CompiledPattern (i.e. once per executor task closure), shared by
+ * every per-key PatternRuntime — constructing these per key group dominated setup cost on
+ * corpora with millions of small conversations.
+ */
+final class PatternStatics(cp: CompiledPattern) extends Serializable {
   import cp._
-
-  private val n = nodes.length
-  private val bufs: Array[ArrayBuffer[PM]] = Array.fill(n)(ArrayBuffer.empty[PM])
-
-  // ---- precompiled condition evaluators (slot-resolved; no per-pair Map allocation) ----
 
   /** Candidate bind slots per name: the leaf slot, plus the KC bind slot when the name is
     * under a Kleene closure (above the KC node the bind carries the aggregated slot). */
@@ -89,6 +75,19 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
       i += 1
     }
     null
+  }
+
+  /** Binding map for CSimple conditions (name -> bound events; KC bind slots map all child
+    * names to the aggregated list). */
+  def buildBinding(binds: Vector[Bind]): Map[String, List[Ev]] = {
+    val m = Map.newBuilder[String, List[Ev]]
+    binds.foreach { b =>
+      kcNamesBySlot.get(b.slot) match {
+        case Some(ns) => ns.foreach(nm => m += nm -> b.evs)
+        case None     => m += b.name -> b.evs
+      }
+    }
+    m.result()
   }
 
   /** Compile a placed condition into a direct evaluator over slot-sorted binds.
@@ -119,8 +118,8 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
     case cs: CSimple => bs => cs.eval(buildBinding(bs))
   }
 
-  private val condsByNode: Array[Array[Vector[Bind] => Boolean]] =
-    Array.tabulate(n)(id => nodeConds.getOrElse(id, Nil).map(compileCond).toArray)
+  val condsByNode: Array[Array[Vector[Bind] => Boolean]] =
+    Array.tabulate(nodes.length)(id => nodeConds.getOrElse(id, Nil).map(compileCond).toArray)
 
   private def compileKcCond(c: Cond): List[Ev] => Boolean = c match {
     case k: CKCIndex => k.evalList
@@ -130,8 +129,34 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
       .flatten.map(_ -> evs).toMap) // unreachable: only KC conds are placed on KC nodes
   }
 
-  private val kcCondsByNode: Array[Array[List[Ev] => Boolean]] =
-    Array.tabulate(n)(id => kcNodeConds.getOrElse(id, Nil).map(compileKcCond).toArray)
+  val kcCondsByNode: Array[Array[List[Ev] => Boolean]] =
+    Array.tabulate(nodes.length)(id => kcNodeConds.getOrElse(id, Nil).map(compileKcCond).toArray)
+}
+
+/** Serializable state snapshot for streaming checkpoint/restore. */
+final case class EngineState(runtimes: Seq[RuntimeState]) extends Serializable
+final case class RuntimeState(
+    bufs: Seq[Seq[PM]],          // by node id
+    pending: Seq[PM],
+    filtered: Seq[(Int, Seq[FilteredEv])],
+    freezers: Seq[(String, Ev)]) extends Serializable
+final case class FilteredEv(idx: Long, minTs: Long) extends Serializable
+
+/** Runtime evaluation state for one compiled pattern over one key.
+  * `shedCap` > 0 enables load shedding (/root/reference/tree/PatternMatchStorage.py:97-129,
+  * SURVEY.md §2.10): when a node buffer exceeds the cap, only the top-cap partial matches
+  * by utility (longer chains first, then more recent) are kept — bounded state at the cost
+  * of recall; NEVER enabled on the parity surface. */
+final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
+                           shedCap: Int = 0) extends Serializable {
+  import cp._
+
+  private val n = nodes.length
+  private val bufs: Array[ArrayBuffer[PM]] = Array.fill(n)(ArrayBuffer.empty[PM])
+  // compiled once per CompiledPattern instance (lazy), NOT per key group — a run over
+  // millions of keys constructs one PatternRuntime per key
+  private val statics = cp.statics
+  import statics.{condsByNode, kcCondsByNode}
   private val pending = ArrayBuffer.empty[PM] // parked at firstUnboundedId
   /** nodeId -> already-reported events under single/next policy, with minTs for expiry
     * (/root/reference/tree/nodes/Node.py:133-160). */
@@ -184,11 +209,16 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
     if (confidence >= 0 && pm.prob >= 0 && pm.prob < confidence) return
     if (!passSingle(id, pm)) return
     if (!skipPark && id == firstUnboundedId) { pending += pm; return }
-    bufs(id) += pm
-    if (shedCap > 0 && bufs(id).length > shedCap) shed(id)
     val par = parentOf(id)
-    if (par < 0) emit(pm)
-    else handleNew(par, id, pm)
+    if (par < 0) {
+      // full matches are emitted, never buffered: the root buffer has no prober and would
+      // otherwise grow without bound inside streaming state
+      emit(pm)
+    } else {
+      bufs(id) += pm
+      if (shedCap > 0 && bufs(id).length > shedCap) shed(id)
+      handleNew(par, id, pm)
+    }
   }
 
   private def emit(pm: PM): Unit = {
@@ -344,21 +374,6 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
     var i = 0
     while (i < fs.length) { if (!fs(i)(binds)) return false; i += 1 }
     true
-  }
-
-  /** Binding for condition evaluation: name -> bound events. A bind at a KC bind-slot maps
-    * all KC child names to the (possibly aggregated) event list; the raw leaf bind inside
-    * the KC subtree shares that slot, and its name is among the child names, so the single
-    * rule is safe for both. */
-  private def buildBinding(binds: Vector[Bind]): Map[String, List[Ev]] = {
-    val m = Map.newBuilder[String, List[Ev]]
-    binds.foreach { b =>
-      kcNamesBySlot.get(b.slot) match {
-        case Some(ns) => ns.foreach(n => m += n -> b.evs)
-        case None     => m += b.name -> b.evs
-      }
-    }
-    m.result()
   }
 
   /** Merge two slot-sorted bind vectors (the reference's merge_according_to,

@@ -101,6 +101,35 @@ object Transcripts {
   }
 }
 
+/** Schema-on-read CSV source for transcripts — the analogue of the reference's
+  * CSV DataFormatters (/root/reference/plugin/stocks/Stocks.py:34-61,
+  * /root/reference/plugin/citibike/CitiBikeFormatter.py:26-124): explicit StructType,
+  * header tolerance, timestamp parsing, nullable tool column. */
+object TranscriptsCsv {
+  import org.apache.spark.sql.types._
+
+  val schema: StructType = StructType(Seq(
+    StructField("conv_id", StringType, nullable = false),
+    StructField("turn_idx", IntegerType, nullable = false),
+    StructField("role", StringType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("tool", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = false)))
+
+  def read(spark: SparkSession, path: String, header: Boolean = true): Dataset[Transcripts.Turn] = {
+    import spark.implicits._
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "DROPMALFORMED")
+      .schema(schema)
+      .csv(path)
+      .as[Transcripts.Turn]
+  }
+
+  def write(ds: Dataset[Transcripts.Turn], path: String): Unit =
+    ds.write.option("header", "true").mode("overwrite").csv(path)
+}
+
 /** Adapter for the driver's events table (events.parquet under /root/testdata/sf&#42;):
   * key=user_id, idx=event_id, etype=event_type, num=value, s1=props. */
 object EventsTable {

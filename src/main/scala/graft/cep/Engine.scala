@@ -45,6 +45,19 @@ final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0)
 
   def snapshot(): EngineState = EngineState(rts.map(_.snapshot()))
   def restore(s: EngineState): Unit = rts.lazyZip(s.runtimes).foreach(_.restore(_))
+
+  /** Drop state that can never influence future output given the watermark: buffered
+    * partial matches older than (watermark - window) can no longer combine with anything
+    * (any future event has ts >= watermark and the window bound is inclusive). */
+  def pruneExpired(watermark: Long): Unit = rts.foreach(_.prune(watermark))
+
+  /** True when the engine holds no state at all — the per-key state-store entry can be
+    * removed; a later event recreates it with identical semantics. */
+  def isQuiescent: Boolean = rts.forall(_.quiescent)
+
+  /** True when parked unbounded-negation matches await a watermark-driven release — the
+    * only condition needing a timer wakeup without new data. */
+  def hasPending: Boolean = rts.exists(_.hasPending)
 }
 
 /**
@@ -189,6 +202,21 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
 
   def advance(ts: Long): Unit = release(ts - windowMicros)
   def finish(): Unit = release(Long.MaxValue)
+
+  def hasPending: Boolean = pending.nonEmpty
+
+  def prune(watermark: Long): Unit = {
+    val hw = watermark - windowMicros
+    var id = 0
+    // full scan (expire()'s head-only guard can miss out-of-order firstTs entries)
+    while (id < n) { bufs(id).filterInPlace(_.firstTs >= hw); id += 1 }
+    filtered.values.foreach(_.filterInPlace { case (_, ts) => ts >= hw })
+    freezers = freezers.filter { case (_, f) => watermark - f.ts <= windowMicros }
+  }
+
+  def quiescent: Boolean =
+    pending.isEmpty && bufs.forall(_.isEmpty) &&
+      filtered.values.forall(_.isEmpty) && freezers.isEmpty
 
   private def release(beforeTs: Long): Unit = {
     if (firstUnboundedId < 0 || pending.isEmpty) return

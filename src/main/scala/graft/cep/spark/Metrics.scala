@@ -76,7 +76,7 @@ object Instrumented {
   * memory and printable as JSON lines — checkpoint-company for the stream evaluator. */
 final class CepQueryListener extends StreamingQueryListener {
   final case class BatchMetrics(batchId: Long, inputRows: Long, processedRowsPerSec: Double,
-                                stateRows: Long, watermark: String)
+                                stateRows: Long, watermark: String, observed: Map[String, Long])
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[BatchMetrics]()
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -84,8 +84,20 @@ final class CepQueryListener extends StreamingQueryListener {
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
     val stateRows = if (p.stateOperators.nonEmpty) p.stateOperators(0).numRowsTotal else 0L
+    val observed = {
+      val m = Map.newBuilder[String, Long]
+      p.observedMetrics.forEach { (name, row) =>
+        (0 until row.length).foreach { i =>
+          row.get(i) match {
+            case l: java.lang.Long => m += s"$name.${row.schema(i).name}" -> l
+            case _ => ()
+          }
+        }
+      }
+      m.result()
+    }
     buf.add(BatchMetrics(p.batchId, p.numInputRows, p.processedRowsPerSecond, stateRows,
-      Option(p.eventTime.get("watermark")).getOrElse("")))
+      Option(p.eventTime.get("watermark")).getOrElse(""), observed))
   }
 
   def batches: Seq[BatchMetrics] = {

@@ -68,10 +68,22 @@ object StreamEvaluator {
     ready.foreach(e => out ++= engine.feed(e))
     out ++= engine.advance(watermark)
 
-    state.update(KeyState(hold, engine.snapshot()))
-    // wake this key on watermark advance even without new events, so held events and
-    // parked negation matches are released
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1000L)
+    // bound state and wakeups: expired buffers can never combine with future events
+    // (ts >= watermark), so prune them; a fully quiescent key is removed from the state
+    // store entirely — otherwise every key would be rescanned on every micro-batch
+    engine.pruneExpired(watermark)
+    if (hold.isEmpty && engine.isQuiescent) {
+      state.remove()
+    } else {
+      state.update(KeyState(hold, engine.snapshot()))
+      if (hold.nonEmpty || engine.hasPending)
+        // wake on watermark advance to release held events / parked negation matches
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1000L)
+      else
+        // live buffers only matter when new data arrives; park the timer far in the
+        // future (an elapsed timeout would otherwise re-fire on every micro-batch)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 100L * 365 * 24 * 3600 * 1000)
+    }
     out.result().iterator
   }
 }

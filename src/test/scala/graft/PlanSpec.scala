@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cep.spark.SparkT
+
+/** Physical-plan guards: the properties that matter at 100 TB must not silently regress. */
+class PlanSpec extends AnyFunSuite {
+  import SparkT.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q1_agg prunes the lineitem scan to the referenced columns") {
+    val plan = Queries.q1Agg(spark, sf).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_orderkey"),
+      s"scan reads unreferenced columns:\n$readSchema")
+  }
+
+  test("q_join_nation broadcasts the dimension tables (no fact-side shuffle join)") {
+    val plan = Queries.qJoinNation(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dimension join degraded to sort-merge:\n$plan")
+  }
+
+  test("CEP pipeline has exactly one shuffle (the key exchange)") {
+    import spark.implicits._
+    val evs = graft.io.EventsTable.load(spark, sf)
+    val plan = graft.cep.spark.BatchEvaluator
+      .evaluate(evs, Seq(Queries.seq3Pattern)).queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange") ) +
+      plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges == 1, s"expected exactly one Exchange:\n$plan")
+  }
+}

@@ -61,9 +61,12 @@ object Queries {
 
   def cepKleene(s: SparkSession, dir: String): DataFrame = {
     val ms = BatchEvaluator.evaluate(EventsTable.load(s, dir), Seq(kleenePattern))
+    // k_ids is scalar-encoded (comma-joined, feed order) so the driver's row hasher can
+    // sort it; the DuckDB oracle enumerates size-2/3 subsets with the same encoding.
     BatchEvaluator.flat(ms, kleenePattern)
       .select(col("key").cast("long").as("user_id"),
-        col("k_idxs").as("k_ids"), col("b_idx").as("b_id"))
+        array_join(col("k_idxs").cast("array<string>"), ",").as("k_ids"),
+        col("b_idx").as("b_id"))
   }
 
   /** Same result as cepSeq3 but through the RIP-salted path — shares seq3's oracle, so the

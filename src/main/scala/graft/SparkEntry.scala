@@ -41,10 +41,121 @@ object SparkEntry {
     "m_media_features" -> (Queries.mediaFeatures _),
     "m_frame_sample" -> (Queries.frameSample _))
 
-  /** DuckDB oracles. Omitted for hash-signature ops (d_minhash_pairs, d_simhash_pairs,
-    * s_cosine_lsh, cep_kleene) whose signatures are not SQL-replicable -> rows-only check;
-    * those are covered by ScalaTest instead. */
+  /** DuckDB oracles — one per query. The hash-signature ops (d_minhash, d_simhash)
+    * replicate the engine's FNV-1a / affine-lane arithmetic in SQL via HUGEINT
+    * mod-2^64 arithmetic; cep_kleene enumerates the size-2/3 click subsets (incl. the
+    * reference's aggregate-identity quirk, see graft.cep.Bind.aggId). */
   def oracleSql: Map[String, String] = Map(
+    "cep_kleene" ->
+      // SEQ(KC(click)[2..3], purchase) WITHIN 2h. Subset members are ordered by feed
+      // order (ts, event_id); SEQ bound: last click ts <= purchase ts (ties OK); window
+      // inclusive over (first click, purchase). The `k_last + 1 <> b_id` exclusion mirrors
+      // the reference's AggregatedEvent identity quirk: an aggregate created by the click
+      // with serial i takes identity i+1, so it collides with (and is rejected against)
+      // a purchase whose serial is exactly i+1 (/root/reference/base/Event.py:53-57).
+      """WITH k AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT k1.user_id AS user_id,
+        |  concat_ws(',', k1.event_id, k2.event_id) AS k_ids, b.event_id AS b_id
+        |FROM k k1 JOIN k k2 ON k1.user_id = k2.user_id JOIN b ON k1.user_id = b.user_id
+        |WHERE (k1.ts < k2.ts OR (k1.ts = k2.ts AND k1.event_id < k2.event_id))
+        |  AND k2.ts <= b.ts AND epoch_us(b.ts) - epoch_us(k1.ts) <= 7200000000
+        |  AND k2.event_id + 1 <> b.event_id
+        |UNION ALL
+        |SELECT k1.user_id,
+        |  concat_ws(',', k1.event_id, k2.event_id, k3.event_id), b.event_id
+        |FROM k k1 JOIN k k2 ON k1.user_id = k2.user_id JOIN k k3 ON k1.user_id = k3.user_id
+        |  JOIN b ON k1.user_id = b.user_id
+        |WHERE (k1.ts < k2.ts OR (k1.ts = k2.ts AND k1.event_id < k2.event_id))
+        |  AND (k2.ts < k3.ts OR (k2.ts = k3.ts AND k2.event_id < k3.event_id))
+        |  AND k3.ts <= b.ts AND epoch_us(b.ts) - epoch_us(k1.ts) <= 7200000000
+        |  AND k3.event_id + 1 <> b.event_id""".stripMargin,
+    "m_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, greatest(1, octet_length(encode(text)) // 256) AS frames,
+        |    md5(text) AS sha
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, sha, unnest(range(0, frames, 4)) AS frame_no FROM v)
+        |SELECT media_id, frame_no, sha || ':' || frame_no AS frame_fp FROM f""".stripMargin,
+    "m_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes, md5(text) AS sha,
+        |  greatest(1, octet_length(encode(text)) // 256) AS frames
+        |FROM documents""".stripMargin,
+    "d_simhash_pairs" ->
+      // FNV-1a 64-bit per gram (list_reduce with the offset basis prepended as fold init),
+      // majority-bit signature, all pairs at hamming <= 3. Quarter-blocking in the Spark
+      // plan is a coverage-complete candidate generator, so output = all qualifying pairs.
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+        |                             x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS gram
+        |  FROM w WHERE len(ws) >= 3),
+        |h AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::UBIGINT,
+        |      [ord(gram[i])::UBIGINT for i in range(1, len(gram) + 1)]),
+        |    (acc, c) -> ((xor(acc, c)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT) AS h
+        |  FROM g),
+        |bits AS (
+        |  SELECT doc_id, t.b AS b, sum(((h >> t.b) & 1)::BIGINT) AS ones, count(*) AS n
+        |  FROM h, range(0, 64) t(b) GROUP BY doc_id, t.b),
+        |sig AS (
+        |  SELECT doc_id, sum(CASE WHEN 2 * ones > n THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS sig
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.sig::UBIGINT, b.sig::UBIGINT))::BIGINT AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig::UBIGINT, b.sig::UBIGINT)) <= 3""".stripMargin,
+    "d_minhash_pairs" ->
+      // 32 affine minhash lanes over FNV-1a gram hashes (split-multiply keeps the mod-2^64
+      // product inside HUGEINT; xor with 2^63 maps the engine's SIGNED min onto unsigned
+      // MIN), 8 bands x 4 rows with exact band-slice equality, then exact-Jaccard verify.
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+        |                             x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS gram
+        |  FROM w WHERE len(ws) >= 3),
+        |h AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::UBIGINT,
+        |      [ord(gram[i])::UBIGINT for i in range(1, len(gram) + 1)]),
+        |    (acc, c) -> ((xor(acc, c)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT) AS h
+        |  FROM g),
+        |lanes AS (
+        |  SELECT i AS k,
+        |    ((11400714819323198485::HUGEINT * i) % 18446744073709551616)::UBIGINT | 1::UBIGINT AS ak,
+        |    ((14029467366897019727::HUGEINT * i) % 18446744073709551616)::UBIGINT | 1::UBIGINT AS bk
+        |  FROM range(1, 33) t(i)),
+        |mh AS (
+        |  SELECT doc_id, k,
+        |    min(xor(
+        |      (( ((ak::HUGEINT * (h >> 32)::HUGEINT) % 4294967296) * 4294967296
+        |        + ak::HUGEINT * (h & 4294967295)::HUGEINT + bk ) % 18446744073709551616)::UBIGINT,
+        |      9223372036854775808::UBIGINT)) AS lane
+        |  FROM h, lanes GROUP BY doc_id, k),
+        |bands AS (
+        |  SELECT doc_id, (k - 1) // 4 AS band, list(lane ORDER BY k) AS bkey
+        |  FROM mh GROUP BY doc_id, (k - 1) // 4),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |common AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS n_common
+        |  FROM cands c JOIN g ga ON ga.doc_id = c.a_id
+        |    JOIN g gb ON gb.doc_id = c.b_id AND ga.gram = gb.gram
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id FROM common
+        |JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.4""".stripMargin,
     "cep_seq2" ->
       """SELECT a.user_id AS user_id, a.event_id AS v_id, b.event_id AS b_id
         |FROM events a JOIN events b ON a.user_id = b.user_id
@@ -126,10 +237,12 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id,
         |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS gram
         |  FROM w WHERE len(ws) >= 3),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+        |gc AS (SELECT g.* FROM g JOIN rare USING (gram)),
         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
         |c AS (
         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_common
-        |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |  FROM gc x JOIN gc y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2)
         |SELECT a_id, b_id, n_common, (sa.n + sb.n - n_common) AS n_union
         |FROM c JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.4""".stripMargin,

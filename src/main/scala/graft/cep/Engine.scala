@@ -188,6 +188,13 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
     if (freezeMap.nonEmpty)
       freezers = freezers.filter { case (_, f) => e.ts - f.ts <= windowMicros }
     cp.leavesByType.get(e.etype).foreach { leaves =>
+      // Fail fast on a probabilistic event hitting a pattern with no confidence threshold,
+      // mirroring the reference's exception in Node.__can_add_partial_match
+      // (/root/reference/tree/nodes/Node.py:133-146) — silently treating such events as
+      // certain would return plausible-looking but meaningless output.
+      if (e.prob >= 0 && confidence < 0)
+        throw new IllegalArgumentException(
+          s"probabilistic event (prob=${e.prob}) fed to pattern $patternId without a confidence threshold")
       leaves.foreach { leaf =>
         if (!frozen(leaf.name)) {
           expire(leaf.id, e.ts)

@@ -18,30 +18,53 @@ import graft.cep._
  * match is emitted exactly once. Cost: 2x event replication; benefit: a hot key fans out
  * over ceil(timespan/W) tasks.
  *
- * Restriction (same as the reference's RIP): correct for patterns whose matches are fully
- * determined by events within `window` of firstTs — true for all bounded patterns; for
- * unbounded negation the invalidating negative is itself window-bounded
- * (/root/reference/tree/nodes/Node.py:187-193), so the 2-pane coverage still suffices.
+ * Negation coverage: a match's positives all lie in [firstTs, firstTs + W), but an
+ * INVALIDATING NEGATIVE may lie up to `window` BEFORE firstTs when the pattern has a
+ * negative that can precede its first positive (NOT at the start of a SEQ, or any NOT
+ * under AND — the merged window check /root/reference/tree/nodes/Node.py:187-193 admits a
+ * negative at firstTs - W). For such patterns each event is ALSO replicated to pane p+1,
+ * so the owner pane q sees [(q-1)*W, (q+2)*W) — 3x replication, but only when the pattern
+ * shape requires it.
+ *
+ * Restriction (same as the reference's RIP): MATCH_ANY only. single / freeze / next
+ * consumption policies carry cross-pane state (root filtered-event sets, freezer
+ * lifetimes, per-node single-attempt maps), so a replicated event could be consumed
+ * independently in two panes — those patterns route through the plain keyed path.
  */
 object Rip {
 
   final case class PaneEv(pane: Long, ev: Ev)
+
+  /** True when some negative of `cp` can arrive up to one window before the pattern's
+    * first positive event: any NOT under AND, or a SEQ negative whose slot precedes every
+    * positive slot. Drives the 3-pane replication above. */
+  private[spark] def negCanPrecedeFirstPositive(cp: CompiledPattern): Boolean = {
+    val negSpecs = cp.nodes.collect { case n: NegSpec => n }
+    if (negSpecs.isEmpty) return false
+    val negSlots = negSpecs.flatMap(_.neg.slots).toSet
+    val posSlots = cp.root.slots.filterNot(negSlots)
+    val firstPos = posSlots.min
+    negSpecs.exists(ng => !ng.isSeq || ng.neg.slots.min < firstPos)
+  }
 
   def evaluateSalted(events: Dataset[Ev], patterns: Seq[Pattern], paneMicros: Long): Dataset[CepMatch] = {
     val spark = events.sparkSession
     import spark.implicits._
     val window = patterns.map(_.windowMicros).max
     require(paneMicros >= window, s"pane width $paneMicros must be >= max pattern window $window")
-    require(patterns.forall(p => p.policy.single.isEmpty && p.policy.freeze.isEmpty),
-      "salted evaluation requires MATCH_ANY (single/freeze policies carry cross-pane state)")
+    require(patterns.forall(p =>
+      p.policy.single.isEmpty && p.policy.freeze.isEmpty && p.policy.next.isEmpty),
+      "salted evaluation requires MATCH_ANY (single/freeze/next policies carry cross-pane state)")
     val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
     val types = compiled.flatMap(_.relevantTypes).distinct
+    val backPane = compiled.exists(negCanPrecedeFirstPositive)
 
     events
       .filter(col("etype").isin(types: _*))
       .flatMap { e =>
         val p = Math.floorDiv(e.ts, paneMicros)
-        Seq(PaneEv(p, e), PaneEv(p - 1, e))
+        if (backPane) Seq(PaneEv(p, e), PaneEv(p - 1, e), PaneEv(p + 1, e))
+        else Seq(PaneEv(p, e), PaneEv(p - 1, e))
       }
       .groupByKey(pe => (pe.ev.key, pe.pane))
       .flatMapGroups { (pk: (String, Long), it: Iterator[PaneEv]) =>

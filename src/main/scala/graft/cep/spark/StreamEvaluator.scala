@@ -40,6 +40,7 @@ object StreamEvaluator {
     val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
     val types = compiled.flatMap(_.relevantTypes).distinct
 
+    val maxWindowMs = compiled.map(_.windowMicros).max / 1000L
     events
       .filter(col("etype").isin(types: _*))
       .withColumn("eventTime", timestamp_micros(col("ts")))
@@ -47,10 +48,10 @@ object StreamEvaluator {
       .as[Ev]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        processKey(compiled))
+        processKey(compiled, maxWindowMs))
   }
 
-  private def processKey(compiled: IndexedSeq[CompiledPattern])(
+  private def processKey(compiled: IndexedSeq[CompiledPattern], maxWindowMs: Long)(
       key: String,
       rows: Iterator[Ev],
       state: GroupState[KeyState]): Iterator[CepMatch] = {
@@ -81,9 +82,11 @@ object StreamEvaluator {
         // wake on watermark advance to release held events / parked negation matches
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1000L)
       else
-        // live buffers only matter when new data arrives; park the timer far in the
-        // future (an elapsed timeout would otherwise re-fire on every micro-batch)
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 100L * 365 * 24 * 3600 * 1000)
+        // live buffers only matter when new data arrives, but if none ever does the key
+        // must still be reaped: one wakeup after the longest pattern window has certainly
+        // passed lets pruneExpired + isQuiescent remove the entry — a far-future timer
+        // would retain one-shot keys forever on a long-running stream
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + maxWindowMs + 1000L)
     }
     out.result().iterator
   }

@@ -131,7 +131,18 @@ object TranscriptsCsv {
 }
 
 /** Adapter for the driver's events table (events.parquet under /root/testdata/sf&#42;):
-  * key=user_id, idx=event_id, etype=event_type, num=value, s1=props. */
+  * key=user_id, idx=event_id, etype=event_type, num=value, s1=props.
+  *
+  * IDX CONTIGUITY CAVEAT: `Bind.aggId = idx + 1` reproduces the reference's
+  * aggregate-identity quirk EXACTLY only when `idx` is a contiguous per-key arrival
+  * serial (the reference's global Event.counter restricted to one key — true for
+  * transcripts' turn_idx). This table uses raw `event_id`, which is globally assigned and
+  * has per-user gaps, so Kleene-closure aggregate identities here are "event_id of the
+  * newest member + 1" rather than "next per-user serial". That is a well-defined,
+  * deterministic semantic of THIS adapter — the driver's cep_kleene oracle mirrors it
+  * verbatim (`k_last + 1 <> b_id`) — but a reference run fed the same per-user stream
+  * with renumbered serials would differ. To get reference-exact KC identity on arbitrary
+  * tables, derive idx as row_number() over (key ORDER BY ts, event_id) at load time. */
 object EventsTable {
   import org.apache.spark.sql.functions._
 

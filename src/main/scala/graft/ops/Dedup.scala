@@ -43,11 +43,22 @@ object Dedup {
   }
 
   /** N-gram Jaccard near-dup pairs: shingle-join candidates, exact Jaccard >= minSim.
-    * Output carries integer intersection/union (hash-stable across engines). */
-  def ngramJaccardPairs(spark: SparkSession, sfDir: String, minSim: Double = 0.4): DataFrame = {
+    * Output carries integer intersection/union (hash-stable across engines).
+    *
+    * Scale guard: the candidate self-join is quadratic PER GRAM — one corpus-frequent
+    * shingle ("the quick brown" over 100 TB) explodes its join key. Grams with document
+    * frequency > `dfMax` are excluded from candidate generation (standard near-dup
+    * practice: a gram shared by thousands of docs carries no pair information that rarer
+    * grams don't); sizes and the Jaccard denominator still use ALL grams, and the DuckDB
+    * oracle applies the identical cap. */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String, minSim: Double = 0.4,
+                        dfMax: Long = 50): DataFrame = {
     val sh = shingles(spark, sfDir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val common = sh.as("x").join(sh.as("y"),
+    val rare = sh.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfMax).select("gram")
+    val shCapped = sh.join(rare, "gram") // left-semi shape: rare is (gram) only
+    val common = shCapped.as("x").join(shCapped.as("y"),
         col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_common"))
@@ -84,13 +95,16 @@ object Dedup {
 
   /** MinHash + LSH banding: 32 hashes, 8 bands x 4 rows. Docs sharing any band bucket are
     * candidates; candidates verified by exact shingle Jaccard >= minSim. The banded join
-    * shuffles only (band, bucket-hash, doc_id). */
+    * shuffles only (band, 4-lane band slice, doc_id) — the band key is the EXACT lane
+    * values (32 bytes), not a 32-bit rehash: exactness makes the op oracle-replicable
+    * (DuckDB reproduces the same FNV-1a/affine lane arithmetic) and removes hash-collision
+    * false candidates; the shuffle row stays fixed-width and narrow. */
   def minhashLshPairs(spark: SparkSession, sfDir: String, minSim: Double = 0.4): DataFrame = {
     val sh = shingles(spark, sfDir)
     val sigs = sh.groupBy("doc_id").agg(collect_list("gram").as("grams"))
       .select(col("doc_id"), minhashUdf(col("grams")).as("sig"))
     val bands = sigs.select(col("doc_id"), posexplode(
-      transform(sequence(lit(0), lit(7)), b => hash(slice(col("sig"), b * lit(4) + lit(1), lit(4))))))
+      transform(sequence(lit(0), lit(7)), b => slice(col("sig"), b * lit(4) + lit(1), lit(4)))))
       .toDF("doc_id", "band", "bucket")
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -137,7 +151,7 @@ object Dedup {
         col("x.q") === col("y.q") && col("x.quarter") === col("y.quarter") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -78,13 +78,15 @@ object Multimodal {
   }
 
   /** Frame sampling for "video" rows: emit one row per sampled frame (every `stride`-th),
-    * with a per-frame fingerprint — the explode-shaped half of a video pipeline. */
+    * with a per-frame fingerprint — the explode-shaped half of a video pipeline.
+    * The fingerprint is md5(payload)-derived (not JVM hashCode) so an external engine can
+    * replicate it — this is what makes the driver's DuckDB oracle possible. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val features = decodeStub(Seq(m)).head
       (0 until features.frames by stride).map { f =>
-        (m.media_id, f, (features.sha.hashCode.toLong << 16) | f.toLong)
+        (m.media_id, f.toLong, s"${features.sha}:$f")
       }
     }.toDF("media_id", "frame_no", "frame_fp")
   }

@@ -28,8 +28,10 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
     val byMedia = frames.groupBy(_.getLong(0))
     byMedia.values.foreach { fs =>
-      val nos = fs.map(_.getInt(1)).sorted
+      val nos = fs.map(_.getLong(1)).sorted
       assert(nos.head == 0 && nos.sliding(2).forall { case Array(a, b) => b - a == 4; case _ => true })
+      // fingerprint must be md5-derived (oracle-replicable), suffixed with the frame no
+      fs.foreach(r => assert(r.getString(2).matches("[0-9a-f]{32}:" + r.getLong(1))))
     }
   }
 

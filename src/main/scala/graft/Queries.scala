@@ -20,10 +20,11 @@ object Queries {
 
   // ---- CEP over the events table -----------------------------------------------------
 
-  /** SEQ(view v, purchase b) within 6h where b.value > v.value. */
+  /** SEQ(view v, purchase b) within 6h where b.value > v.value. The condition is a typed
+    * relop (not an opaque lambda) so the engine can serve it from sorted storage. */
   val seq2Pattern: Pattern = Pattern(
     SEQ(P("view", "v"), P("purchase", "b")),
-    CBinary("v", "b", (v, b) => b.num > v.num), 6 * H)
+    CRel.num("v", "b", RelOp.LT), 6 * H)
 
   /** SEQ(view, click, purchase) within 24h. */
   val seq3Pattern: Pattern = Pattern(
@@ -41,23 +42,30 @@ object Queries {
   val kleenePattern: Pattern = Pattern(
     SEQ(KC(P("click", "k"), min = 2, max = 3), P("purchase", "b")), CTrue, 2 * H)
 
-  private def cepFlat(s: SparkSession, dir: String, p: Pattern, cols: (String, String)*): DataFrame = {
-    val ms = BatchEvaluator.evaluate(EventsTable.load(s, dir), Seq(p))
+  private def cepFlat(s: SparkSession, dir: String, p: Pattern, sorted: Boolean,
+                      cols: (String, String)*): DataFrame = {
+    val ms = BatchEvaluator.evaluate(EventsTable.load(s, dir), Seq(p), sortedStorage = sorted)
     val flat = BatchEvaluator.flat(ms, p)
     flat.select(col("key").cast("long").as("user_id") +: cols.map { case (f, t) => col(f).as(t) }: _*)
   }
 
   def cepSeq2(s: SparkSession, dir: String): DataFrame =
-    cepFlat(s, dir, seq2Pattern, "v_idx" -> "v_id", "b_idx" -> "b_id")
+    cepFlat(s, dir, seq2Pattern, sorted = false, "v_idx" -> "v_id", "b_idx" -> "b_id")
+
+  /** Same result as cepSeq2 but probing through the sorted-storage access path — shares
+    * seq2's oracle, so the driver independently validates the sorted probes
+    * (output-invariance is the contract, /root/reference/tree/PatternMatchStorage.py:144-283). */
+  def cepSortedSeq2(s: SparkSession, dir: String): DataFrame =
+    cepFlat(s, dir, seq2Pattern, sorted = true, "v_idx" -> "v_id", "b_idx" -> "b_id")
 
   def cepSeq3(s: SparkSession, dir: String): DataFrame =
-    cepFlat(s, dir, seq3Pattern, "v_idx" -> "v_id", "c_idx" -> "c_id", "b_idx" -> "b_id")
+    cepFlat(s, dir, seq3Pattern, sorted = false, "v_idx" -> "v_id", "c_idx" -> "c_id", "b_idx" -> "b_id")
 
   def cepSeqNot(s: SparkSession, dir: String): DataFrame =
-    cepFlat(s, dir, seqNotPattern, "s_idx" -> "s_id", "b_idx" -> "b_id")
+    cepFlat(s, dir, seqNotPattern, sorted = false, "s_idx" -> "s_id", "b_idx" -> "b_id")
 
   def cepAnd2(s: SparkSession, dir: String): DataFrame =
-    cepFlat(s, dir, and2Pattern, "e_idx" -> "e_id", "b_idx" -> "b_id")
+    cepFlat(s, dir, and2Pattern, sorted = false, "e_idx" -> "e_id", "b_idx" -> "b_id")
 
   def cepKleene(s: SparkSession, dir: String): DataFrame = {
     val ms = BatchEvaluator.evaluate(EventsTable.load(s, dir), Seq(kleenePattern))

@@ -14,6 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CEP over events (SURVEY.md §2.3 joins, §2.6 negation, §2.4 Kleene, §2.9 skew)
     "cep_seq2" -> (Queries.cepSeq2 _),
+    "cep_sorted_seq2" -> (Queries.cepSortedSeq2 _),
     "cep_seq3" -> (Queries.cepSeq3 _),
     "cep_seq_not" -> (Queries.cepSeqNot _),
     "cep_and2" -> (Queries.cepAnd2 _),
@@ -157,6 +158,13 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
         |WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.4""".stripMargin,
     "cep_seq2" ->
+      """SELECT a.user_id AS user_id, a.event_id AS v_id, b.event_id AS b_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND a.ts <= b.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+        |  AND b.value > a.value""".stripMargin,
+    // identical result through the sorted-storage probe path (output-invariance contract)
+    "cep_sorted_seq2" ->
       """SELECT a.user_id AS user_id, a.event_id AS v_id, b.event_id AS b_id
         |FROM events a JOIN events b ON a.user_id = b.user_id
         |WHERE a.event_type = 'view' AND b.event_type = 'purchase'

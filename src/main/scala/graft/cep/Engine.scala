@@ -18,10 +18,11 @@ import scala.collection.mutable.ArrayBuffer
  * batch evaluator (flatMapGroups), the streaming evaluator (flatMapGroupsWithState,
  * via snapshot/restore), and unit tests.
  */
-final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0) extends Serializable {
+final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0,
+                        sortedStorage: Boolean = false) extends Serializable {
 
   private val out = ArrayBuffer.empty[CepMatch]
-  private val rts = patterns.map(new PatternRuntime(_, out, shedCap))
+  private val rts = patterns.map(new PatternRuntime(_, out, shedCap, sortedStorage))
   private val allTypes: Set[String] = patterns.iterator.flatMap(_.relevantTypes).toSet
 
   /** Feed one event (in (ts, idx) order); returns matches completed by this event. */
@@ -119,6 +120,12 @@ final class PatternStatics(cp: CompiledPattern) extends Serializable {
         val bx = findBind(bs, sx); val by = findBind(bs, sy)
         bx != null && by != null && f(bx.evs.head, by.evs.head)
       }
+    case r: CRel =>
+      val sx = slotsOfName(r.a); val sy = slotsOfName(r.b)
+      bs => {
+        val bx = findBind(bs, sx); val by = findBind(bs, sy)
+        bx != null && by != null && r.fn(bx.evs.head, by.evs.head)
+      }
     case k: CKCIndex =>
       val ss = slotsOfName(k.name)
       bs => { val b = findBind(bs, ss); b != null && k.evalList(b.evs) }
@@ -144,6 +151,65 @@ final class PatternStatics(cp: CompiledPattern) extends Serializable {
 
   val kcCondsByNode: Array[Array[List[Ev] => Boolean]] =
     Array.tabulate(nodes.length)(id => kcNodeConds.getOrElse(id, Nil).map(compileKcCond).toArray)
+
+  // ---- sorted-storage access path (opt-in; mirrors the reference's
+  // SortedPatternMatchStorage + BinaryNode key selection,
+  // /root/reference/tree/PatternMatchStorage.py:144-283,
+  // /root/reference/tree/nodes/BinaryNode.py:168-256) -------------------------------------
+
+  /** Extract the relop key of one side's partial match: the `get` of the event bound at
+    * `slot` (every PM buffered at a node binds all of that subtree's slots). */
+  private def bindKey(slot: Int, get: Ev => Double): PM => Double = pm => {
+    val bs = pm.binds
+    var i = 0
+    var r = 0.0
+    var found = false
+    while (i < bs.length && !found) {
+      if (bs(i).slot == slot) { r = get(bs(i).evs.head); found = true }
+      i += 1
+    }
+    r // unreachable miss: the probe plan only targets slots the side always binds
+  }
+
+  /** Per-BinSpec sorted-probe plan: op(leftKey(l), rightKey(r)) must hold for any
+    * combinable pair. Derived from the first placed typed relop whose names are plain
+    * (non-Kleene) leaves on opposite sides. */
+  final class ProbePlan(val leftKey: PM => Double, val rightKey: PM => Double, val op: RelOp)
+    extends Serializable
+
+  val probePlans: Array[ProbePlan] = {
+    val kcNames: Set[String] = kcNamesBySlot.valuesIterator.flatten.toSet
+    val slotOfName: Map[String, Int] = nameBySlot.map(_.swap)
+    val arr = new Array[ProbePlan](nodes.length)
+    nodes.foreach {
+      case b0: BinSpec =>
+        nodeConds.getOrElse(b0.id, Nil).collectFirst {
+          case r: CRel if !kcNames(r.a) && !kcNames(r.b) && r.a != r.b => r
+        }.foreach { r =>
+          val sa = slotOfName(r.a); val sb = slotOfName(r.b)
+          val leftSlots = b0.left.slots.toSet
+          if (leftSlots(sa) && b0.right.slots.contains(sb))
+            arr(b0.id) = new ProbePlan(bindKey(sa, r.getA), bindKey(sb, r.getB), r.op)
+          else if (leftSlots(sb) && b0.right.slots.contains(sa))
+            arr(b0.id) = new ProbePlan(bindKey(sb, r.getB), bindKey(sa, r.getA), RelOp.swap(r.op))
+        }
+      case _ => ()
+    }
+    arr
+  }
+
+  /** Sort-key extractor for buffers kept key-sorted (null = arrival order). Set on the two
+    * children of every BinSpec that has a probe plan. */
+  val sortKeyOf: Array[PM => Double] = {
+    val arr = new Array[PM => Double](nodes.length)
+    nodes.foreach {
+      case b0: BinSpec if probePlans(b0.id) != null =>
+        arr(b0.left.id) = probePlans(b0.id).leftKey
+        arr(b0.right.id) = probePlans(b0.id).rightKey
+      case _ => ()
+    }
+    arr
+  }
 }
 
 /** Serializable state snapshot for streaming checkpoint/restore. */
@@ -161,7 +227,7 @@ final case class FilteredEv(idx: Long, minTs: Long) extends Serializable
   * by utility (longer chains first, then more recent) are kept — bounded state at the cost
   * of recall; NEVER enabled on the parity surface. */
 final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
-                           shedCap: Int = 0) extends Serializable {
+                           shedCap: Int = 0, sortedStorage: Boolean = false) extends Serializable {
   import cp._
 
   private val n = nodes.length
@@ -169,7 +235,16 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
   // compiled once per CompiledPattern instance (lazy), NOT per key group — a run over
   // millions of keys constructs one PatternRuntime per key
   private val statics = cp.statics
-  import statics.{condsByNode, kcCondsByNode}
+  import statics.{condsByNode, kcCondsByNode, probePlans, sortKeyOf}
+  /** Sorted-storage probes active: opt-in, and only when no state mutates per emission
+    * (single/next policies consume events in emission order, shedding reorders buffers —
+    * probe order must then stay arrival order for parity with the unsorted path). */
+  private val useSorted =
+    sortedStorage && singleAt.isEmpty && freezeMap.isEmpty && shedCap == 0
+  /** Amortized-expiry tick per key-sorted node (arrival order is lost there, so expiry is
+    * a periodic full sweep — the reference's clean_up_interval,
+    * /root/reference/misc/DefaultConfig.py:35). */
+  private val expireTick = new Array[Int](n)
   private val pending = ArrayBuffer.empty[PM] // parked at firstUnboundedId
   /** nodeId -> already-reported events under single/next policy, with minTs for expiry
     * (/root/reference/tree/nodes/Node.py:133-160). */
@@ -250,7 +325,8 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
       // otherwise grow without bound inside streaming state
       emit(pm)
     } else {
-      bufs(id) += pm
+      val key = if (useSorted) sortKeyOf(id) else null
+      if (key == null) bufs(id) += pm else insertSorted(bufs(id), pm, key)
       if (shedCap > 0 && bufs(id).length > shedCap) shed(id)
       handleNew(par, id, pm)
     }
@@ -293,8 +369,11 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
       val otherId = if (fromId == b.left.id) b.right.id else b.left.id
       expire(otherId, pm.lastTs)
       expire(parId, pm.lastTs)
-      // iterate over a copy: combinations may recursively add to buffers
-      bufs(otherId).toArray.foreach { opm =>
+      val plan = if (useSorted) probePlans(parId) else null
+      val candidates: Array[PM] =
+        if (plan == null) bufs(otherId).toArray // copy: combinations may recursively add
+        else probeRange(bufs(otherId), pm, plan, fromLeft = fromId == b.left.id)
+      candidates.foreach { opm =>
         val merged = mergeBinds(pm.binds, opm.binds)
         if (valid(parId, b.isSeq, merged))
           propagate(parId, PM(merged, Joint.prob(pm.prob, opm.prob)), skipPark = false)
@@ -465,11 +544,79 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
   }
 
   /** Drop expired partial matches (first_ts < last_ts - window),
-    * /root/reference/tree/PatternMatchStorage.py:70-89. */
+    * /root/reference/tree/PatternMatchStorage.py:70-89. Arrival-ordered buffers use an
+    * exact head guard; key-sorted buffers lose firstTs order, so expiry there is an
+    * amortized full sweep (semantics unaffected: expired PMs always fail the window
+    * check — expiry is pure GC). */
   private def expire(id: Int, lastTs: Long): Unit = {
     val b = bufs(id)
-    if (b.nonEmpty && b.head.firstTs < lastTs - windowMicros)
+    if (b.isEmpty) return
+    if (useSorted && sortKeyOf(id) != null) {
+      expireTick(id) += 1
+      if (expireTick(id) >= 10) {
+        expireTick(id) = 0
+        b.filterInPlace(_.firstTs >= lastTs - windowMicros)
+      }
+    } else if (b.head.firstTs < lastTs - windowMicros)
       b.filterInPlace(_.firstTs >= lastTs - windowMicros)
+  }
+
+  // ---- sorted-storage probes (opt-in; /root/reference/tree/PatternMatchStorage.py:144-283,
+  // binary search /root/reference/misc/Utils.py:247-294) --------------------------------
+
+  /** Stable insert keeping `b` ascending by `key` (ties appended after the equal run, so
+    * equal-key entries stay in arrival order). ArrayBuffer insert is O(n) memmove — same
+    * complexity as the reference's list.insert; the probe-side saving is what pays. */
+  private def insertSorted(b: ArrayBuffer[PM], pm: PM, key: PM => Double): Unit = {
+    val v = key(pm)
+    var lo = 0
+    var hi = b.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.lang.Double.compare(key(b(mid)), v) <= 0) lo = mid + 1 else hi = mid
+    }
+    b.insert(lo, pm)
+  }
+
+  /** First index with key >= v (lower bound) or key > v (upper bound). */
+  private def bound(b: ArrayBuffer[PM], key: PM => Double, v: Double, upper: Boolean): Int = {
+    var lo = 0
+    var hi = b.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val c = java.lang.Double.compare(key(b(mid)), v)
+      if (c < 0 || (upper && c == 0)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Candidates in `other` (sorted by its side's key) that can satisfy the probe plan's
+    * relop against `pm`. A prefilter only — every candidate still goes through valid(). */
+  private def probeRange(other: ArrayBuffer[PM], pm: PM, plan: statics.ProbePlan,
+                         fromLeft: Boolean): Array[PM] = {
+    val v = if (fromLeft) plan.leftKey(pm) else plan.rightKey(pm)
+    val keyO = if (fromLeft) plan.rightKey else plan.leftKey
+    // Probing right from left wants {w : op(v, w)}; probing left from right wants
+    // {u : op(u, v)} = {u : swap(op)(v, u)} — one table with the op swapped.
+    val eff = if (fromLeft) plan.op else RelOp.swap(plan.op)
+    val len = other.length
+    def slice(from: Int, until: Int): Array[PM] = {
+      if (from >= until) return Array.empty
+      val r = new Array[PM](until - from)
+      var i = from
+      while (i < until) { r(i - from) = other(i); i += 1 }
+      r
+    }
+    eff match {
+      case RelOp.EQ => slice(bound(other, keyO, v, upper = false), bound(other, keyO, v, upper = true))
+      case RelOp.LT => slice(bound(other, keyO, v, upper = true), len)
+      case RelOp.LE => slice(bound(other, keyO, v, upper = false), len)
+      case RelOp.GT => slice(0, bound(other, keyO, v, upper = false))
+      case RelOp.GE => slice(0, bound(other, keyO, v, upper = true))
+      case RelOp.NE =>
+        slice(0, bound(other, keyO, v, upper = false)) ++
+          slice(bound(other, keyO, v, upper = true), len)
+    }
   }
 
   // ---- state snapshot ----------------------------------------------------------------

@@ -64,6 +64,10 @@ sealed trait Cond extends Serializable {
       case (Some(a), Some(c)) => f(a.head, c.head)
       case _                  => false
     }
+    case r: CRel          => (b.get(r.a), b.get(r.b)) match {
+      case (Some(x), Some(y)) => r.fn(x.head, y.head)
+      case _                  => false
+    }
     case CSimple(ns, f)   => ns.forall(b.contains) && f(ns.map(n => n -> b(n)).toMap)
     case k: CKCIndex      => b.get(k.name).exists(k.evalList)
     case k: CKCValue      => b.get(k.name).exists(k.evalList)
@@ -85,6 +89,40 @@ final case class COr(cs: List[Cond]) extends Cond { lazy val names: Set[String] 
 final case class CUnary(name: String, fn: Ev => Boolean) extends Cond { def names = Set(name) }
 /** Two-event predicate (/root/reference/condition/BaseRelationCondition.py). */
 final case class CBinary(a: String, b: String, fn: (Ev, Ev) => Boolean) extends Cond { def names = Set(a, b) }
+
+/** Typed relational operator — the ONLY condition kind the engine can reason about for
+  * sorted-storage access paths, exactly like the reference's `BaseRelationCondition`
+  * relop metadata (/root/reference/condition/BaseRelationCondition.py:9-181,
+  * /root/reference/condition/Condition.py:12-36). */
+sealed abstract class RelOp(val test: (Double, Double) => Boolean)
+object RelOp {
+  case object EQ extends RelOp(_ == _)
+  case object NE extends RelOp(_ != _)
+  case object LT extends RelOp(_ < _)
+  case object LE extends RelOp(_ <= _)
+  case object GT extends RelOp(_ > _)
+  case object GE extends RelOp(_ >= _)
+  /** The "opposite" relation: swap(op)(y, x) == op(x, y)
+    * (/root/reference/condition/Condition.py:12-36 get_opposite_relation_op). */
+  def swap(op: RelOp): RelOp = op match {
+    case LT => GT; case GT => LT; case LE => GE; case GE => LE; case x => x
+  }
+}
+
+/** Typed two-event relop: `op(getA(a), getB(b))`. Behaves exactly like the equivalent
+  * CBinary under evaluation, but carries relop + key-extraction metadata so a join node
+  * can keep its child buffers sorted by the key and binary-search the qualifying probe
+  * range (/root/reference/tree/nodes/BinaryNode.py:168-256,
+  * /root/reference/tree/PatternMatchStorage.py:144-283). */
+final case class CRel(a: String, b: String, op: RelOp,
+                      getA: Ev => Double, getB: Ev => Double) extends Cond {
+  def names = Set(a, b)
+  def fn(x: Ev, y: Ev): Boolean = op.test(getA(x), getB(y))
+}
+object CRel {
+  /** Relop over each side's `num` payload attribute (the common case). */
+  def num(a: String, b: String, op: RelOp): CRel = CRel(a, b, op, _.num, _.num)
+}
 /** N-ary predicate over full bindings (/root/reference/condition/Condition.py:189-226). */
 final case class CSimple(ns: List[String], fn: Map[String, List[Ev]] => Boolean) extends Cond {
   def names: Set[String] = ns.toSet

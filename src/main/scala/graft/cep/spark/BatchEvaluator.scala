@@ -18,8 +18,11 @@ object BatchEvaluator {
 
   /** Evaluate patterns over a typed event dataset. The relevant-type filter is applied as a
     * Catalyst predicate BEFORE the shuffle so it reaches the parquet scan (pushdown); the
-    * per-key group is sorted by (ts, idx) and fed through the incremental engine. */
-  def evaluate(events: Dataset[Ev], patterns: Seq[Pattern]): Dataset[CepMatch] = {
+    * per-key group is sorted by (ts, idx) and fed through the incremental engine.
+    * `sortedStorage` enables binary-searched relop probes (output-invariant; off = the
+    * reference's default full-scan probe, /root/reference/misc/DefaultConfig.py:34). */
+  def evaluate(events: Dataset[Ev], patterns: Seq[Pattern],
+               sortedStorage: Boolean = false): Dataset[CepMatch] = {
     val spark = events.sparkSession
     import spark.implicits._
     val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
@@ -30,7 +33,7 @@ object BatchEvaluator {
       .flatMapGroups { (_, it) =>
         val evs = it.toArray
         java.util.Arrays.sort(evs, Ordering.by((e: Ev) => (e.ts, e.idx)))
-        val engine = new MatchEngine(compiled)
+        val engine = new MatchEngine(compiled, sortedStorage = sortedStorage)
         val out = Vector.newBuilder[CepMatch]
         evs.foreach(e => out ++= engine.feed(e))
         out ++= engine.finish()

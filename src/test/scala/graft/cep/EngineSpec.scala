@@ -170,6 +170,75 @@ class EngineSpec extends AnyFunSuite {
     assert(idxSets(ms) == Set(List(List(2L), List(3L))))
   }
 
+  test("sorted-storage probes are output-invariant across all relops (randomized)") {
+    val rnd = new scala.util.Random(7)
+    def run(p: Pattern, events: Seq[Ev], sorted: Boolean): Seq[CepMatch] =
+      events.groupBy(_.key).values.toSeq.flatMap { perKey =>
+        val eng = new MatchEngine(Compiler.compile(p), sortedStorage = sorted)
+        perKey.sortBy(e => (e.ts, e.idx)).flatMap(eng.feed) ++ eng.finish()
+      }
+    val ops = Seq(RelOp.EQ, RelOp.NE, RelOp.LT, RelOp.LE, RelOp.GT, RelOp.GE)
+    for (op <- ops; trial <- 1 to 4) {
+      val structure = if (trial % 2 == 0) SEQ(P("A", "a"), P("B", "b"), P("C", "c"))
+                      else AND(P("A", "a"), P("B", "b"))
+      val p = Pattern(structure, CRel.num("a", "b", op), 30 * MIN)
+      val events = (0 until 120).map { i =>
+        ev(Seq("A", "B", "C")(rnd.nextInt(3)), rnd.nextInt(90), i,
+          key = s"k${rnd.nextInt(3)}", num = rnd.nextInt(8).toDouble) // few values -> tie-heavy
+      }
+      // the plan must actually engage (both relop names are plain leaves on opposite sides)
+      assert(Compiler.compile(p).head.statics.probePlans.exists(_ != null), s"no plan for $op")
+      val plain = idxSets(run(p, events, sorted = false))
+      val viaSorted = idxSets(run(p, events, sorted = true))
+      assert(viaSorted == plain, s"sorted != unsorted for op=$op trial=$trial")
+    }
+  }
+
+  test("sorted-storage probes visit only the qualifying range (probe-count audit)") {
+    // SEQ(A a, B b) with a.num < b.num over one key: every A probes B's buffer and vice
+    // versa. With values 0..9 uniform and a highly selective threshold the sorted path
+    // must touch far fewer candidates than the full scan. We audit via a counting key fn.
+    val nEv = 400
+    val rnd = new scala.util.Random(11)
+    // selective relop: most A values sit above every B value, so the qualifying range is
+    // tiny; a handful of low A values keep the match set non-empty
+    val events = (0 until nEv).map { i =>
+      val num =
+        if (i % 2 == 0) { if (i % 50 == 0) 0.0 else 900.0 + rnd.nextInt(100) }
+        else rnd.nextInt(100).toDouble
+      ev(if (i % 2 == 0) "A" else "B", i / 4.0, i, num = num)
+    }
+    var visited = 0
+    val counting = CRel("a", "b", RelOp.LT,
+      a => a.num, b => { visited += 1; b.num })
+    val p = Pattern(SEQ(P("A", "a"), P("B", "b")), counting, 1000 * MIN)
+    val eng = new MatchEngine(Compiler.compile(p), sortedStorage = true)
+    val sortedMatches = (events.flatMap(eng.feed) ++ eng.finish()).size
+    val sortedVisits = visited
+    visited = 0
+    val eng2 = new MatchEngine(Compiler.compile(p), sortedStorage = false)
+    val plainMatches = (events.flatMap(eng2.feed) ++ eng2.finish()).size
+    assert(sortedMatches == plainMatches)
+    assert(sortedMatches > 0)
+    // getB is called O(log n) times per insert/probe in the sorted path plus once per
+    // in-range candidate; the full scan evaluates it for every buffered candidate. With
+    // the selective distribution above the sorted path must do a small fraction of the
+    // scan's work.
+    assert(sortedVisits < visited / 4, s"sorted=$sortedVisits scan=$visited")
+  }
+
+  test("probabilistic event without a confidence threshold fails fast (reference parity)") {
+    val p = Pattern(SEQ(P("A", "a"), P("B", "b")), CTrue, 60 * MIN)
+    val eng = new MatchEngine(Compiler.compile(p))
+    val e = intercept[IllegalArgumentException] {
+      eng.feed(Ev("k", 0, "A", 0, 0, null, null, prob = 0.9))
+    }
+    assert(e.getMessage.contains("confidence"))
+    // deterministic events (prob = -1) are unaffected
+    val ms = cepRun(p, Seq(ev("A", 1, 1), ev("B", 2, 2)))
+    assert(ms.nonEmpty)
+  }
+
   test("MATCH_SINGLE policy: an event joins at most one reported match") {
     val p = Pattern(SEQ(P("A", "a"), P("B", "b")), CTrue, 60 * MIN,
       policy = Policy(single = Set("B")))

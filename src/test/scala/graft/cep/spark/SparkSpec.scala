@@ -66,6 +66,39 @@ class SparkSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salted equals unsalted when a negative precedes the first positive (3-pane coverage)") {
+    import spark.implicits._
+    // AND(a, NOT(b), c): the invalidating b may lie up to `window` BEFORE the match's
+    // first positive — the exact shape that needs back-pane replication. Craft the
+    // adversarial trio straddling a pane boundary (b at pW-1, a at pW, c at pW+1) plus
+    // the full generated corpus.
+    val pane = 10 * MIN
+    val andNot = Pattern(
+      AND(P("USER", "a"), NOT(P("TOOL", "b")), P("ASSISTANT", "c")),
+      CTrue, windowMicros = 5 * MIN)
+    val trio = Seq(
+      Ev("k-boundary", 0, "TOOL", 3 * pane - 1, 0, null, null),
+      Ev("k-boundary", 1, "USER", 3 * pane, 0, null, null),
+      Ev("k-boundary", 2, "ASSISTANT", 3 * pane + 1, 0, null, null))
+    val crafted = spark.createDataset(trio)
+    val plainCrafted = canon(BatchEvaluator.evaluate(crafted, Seq(andNot)).collect().toSeq)
+    val saltedCrafted = canon(Rip.evaluateSalted(crafted, Seq(andNot), pane).collect().toSeq)
+    assert(plainCrafted.isEmpty, "the boundary-straddling b must kill the match")
+    assert(saltedCrafted == plainCrafted)
+    val plain = canon(BatchEvaluator.evaluate(evs, Seq(andNot)).collect().toSeq)
+    val salted = canon(Rip.evaluateSalted(evs, Seq(andNot), pane).collect().toSeq)
+    assert(plain.nonEmpty)
+    assert(salted == plain)
+  }
+
+  test("salted evaluation rejects MATCH_NEXT patterns (cross-pane consumption state)") {
+    val p = flagship.copy(policy = Policy(next = Set("TOOL")))
+    val e = intercept[IllegalArgumentException] {
+      Rip.evaluateSalted(evs, Seq(p), paneMicros = 10 * MIN)
+    }
+    assert(e.getMessage.contains("MATCH_ANY"))
+  }
+
   test("salted evaluation spreads the hot key over many panes") {
     import spark.implicits._
     val hot = evs.filter(_.key == "conv-00000")

@@ -60,13 +60,63 @@ object Bench {
     val queryTimes = runAll(timed = true)
     spark.stop()
 
+    // --- part 1b: engine micro-benches (pure JVM, no Spark) ------------------------------
+    // (a) cost-based join reorder: SEQ(A, B, C) with C rare — trivial order buffers the
+    //     huge A-join-B intermediate, greedy starts at C; (b) sorted-storage probes: a
+    //     selective relop served by binary-searched ranges vs the full-scan default.
+    // Interleaved reps + min per variant (bursty host steal).
+    import graft.cep._
+    import graft.cep.PStruct._
+    def engRun(compiled: IndexedSeq[CompiledPattern], events: Array[Ev],
+               sorted: Boolean): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val eng = new MatchEngine(compiled, sortedStorage = sorted)
+      var m = 0L
+      events.foreach(e => m += eng.feed(e).size)
+      m += eng.finish().size
+      (m, (System.nanoTime() - t0) / 1e9)
+    }
+    val rndR = new scala.util.Random(5)
+    val reorderEvents = Array.tabulate(20000) { i =>
+      val et = if (rndR.nextInt(200) == 0) "C" else if (rndR.nextBoolean()) "A" else "B"
+      Ev("k", i, et, i.toLong * 1000000L, rndR.nextInt(1000).toDouble, null, null)
+    }
+    val seqP = Pattern(SEQ(P("A", "a"), P("B", "b"), P("C", "c")), CTrue, 200L * 1000000L)
+    val trivialC = Compiler.compile(seqP, Orders.Trivial)
+    val greedyC = Compiler.compile(seqP,
+      Orders.Greedy(Map("A" -> 100.0, "B" -> 100.0, "C" -> 1.0)))
+    val rndS = new scala.util.Random(6)
+    val sortedEvents = Array.tabulate(15000) { i =>
+      val num =
+        if (i % 2 == 0) { if (i % 100 == 0) 0.0 else 900.0 + rndS.nextInt(100) }
+        else rndS.nextInt(100).toDouble
+      Ev("k", i, if (i % 2 == 0) "A" else "B", i.toLong * 1000000L, num, null, null)
+    }
+    val relP = Pattern(SEQ(P("A", "a"), P("B", "b")), CRel.num("a", "b", RelOp.LT), 3000L * 1000000L)
+    val relC = Compiler.compile(relP)
+    engRun(trivialC, reorderEvents, sorted = false) // JIT warmup
+    engRun(relC, sortedEvents, sorted = true)
+    val micro = (1 to 3).map { _ =>
+      (engRun(trivialC, reorderEvents, sorted = false),
+        engRun(greedyC, reorderEvents, sorted = false),
+        engRun(relC, sortedEvents, sorted = false),
+        engRun(relC, sortedEvents, sorted = true))
+    }
+    require(micro.head._1._1 == micro.head._2._1, "reordered plan changed the match count")
+    require(micro.head._3._1 == micro.head._4._1, "sorted probes changed the match count")
+    val microTimes = Seq(
+      "cep_order_trivial" -> micro.map(_._1._2).min,
+      "cep_order_greedy" -> micro.map(_._2._2).min,
+      "cep_probe_scan" -> micro.map(_._3._2).min,
+      "cep_probe_sorted" -> micro.map(_._4._2).min)
+
     // --- part 2: CEP scaling ------------------------------------------------------------
     // Each measurement runs in a FRESH forked JVM (same-JVM session sequences distort
     // local[n] timings by up to 20x via accumulated heap/GC state), repetitions of the two
     // levels are INTERLEAVED in time, and the min per level is kept — this VM suffers
     // bursty host CPU-steal, so co-scheduling the levels keeps the comparison fair.
-    final case class LevelResult(n: Long, matches: Long, plain: Double, salted: Double)
-    val resultRe = """RESULT cores=(\d+) n=(\d+) matches=(\d+) plain=([0-9.]+) salted=([0-9.]+).*""".r
+    final case class LevelResult(n: Long, matches: Long, plain: Double, salted: Double, auto: Double)
+    val resultRe = """RESULT cores=(\d+) n=(\d+) matches=(\d+) plain=([0-9.]+) salted=([0-9.]+) auto=([0-9.]+).*""".r
 
     def stealJiffies(): (Long, Long) = {
       val f = scala.io.Source.fromFile("/proc/stat")
@@ -94,7 +144,8 @@ object Bench {
       src.getLines().foreach(l => if (l.startsWith("RESULT")) out.append(l))
       proc.waitFor()
       out.toString match {
-        case resultRe(_, n, m, p, sl) => LevelResult(n.toLong, m.toLong, p.toDouble, sl.toDouble)
+        case resultRe(_, n, m, p, sl, au) =>
+          LevelResult(n.toLong, m.toLong, p.toDouble, sl.toDouble, au.toDouble)
         case other => throw new IllegalStateException(s"bench child failed: $other")
       }
     }
@@ -120,7 +171,8 @@ object Bench {
 
     def best(c: Int): LevelResult = {
       val rs = runs(c)
-      LevelResult(rs.head.n, rs.head.matches, rs.map(_.plain).min, rs.map(_.salted).min)
+      LevelResult(rs.head.n, rs.head.matches, rs.map(_.plain).min, rs.map(_.salted).min,
+        rs.map(_.auto).min)
     }
     val (r2, r8, r32) = (best(2), best(8), best(32))
     val n = r8.n
@@ -129,10 +181,11 @@ object Bench {
     val eff8to32 = (thr(32) / thr(8)) / 4.0
 
     val total = queryTimes.map(_._2).sum + r32.plain + skew.salted
-    val qs = (queryTimes ++ Seq(
+    val qs = (queryTimes ++ microTimes ++ Seq(
       "cep_uniform_plain_2" -> r2.plain, "cep_uniform_plain_8" -> r8.plain,
-      "cep_uniform_plain_32" -> r32.plain,
-      "cep_skew_plain" -> skew.plain, "cep_skew_salted" -> skew.salted))
+      "cep_uniform_plain_32" -> r32.plain, "cep_uniform_auto_32" -> r32.auto,
+      "cep_skew_plain" -> skew.plain, "cep_skew_salted" -> skew.salted,
+      "cep_skew_auto" -> skew.auto))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
     val json =
@@ -142,6 +195,7 @@ object Bench {
         s""""cep_throughput_32":${thr(32).toLong},""" +
         f""""scaling_efficiency_n_to_4n":$eff2to8%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f,""" +
         s""""skew_turns":${skew.n},"skew_plain_sec":${skew.plain},"skew_salted_sec":${skew.salted},""" +
+        s""""skew_auto_sec":${skew.auto},""" +
         f""""host_cpu_steal_pct":$stealPct%.1f}"""
     // bare line on stdout (build.sbt routes forked run output straight through, no sbt
     // [info] prefix) AND a file copy — round 1's metric line was swallowed by the log

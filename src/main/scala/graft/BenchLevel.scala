@@ -30,18 +30,23 @@ object BenchLevel {
     val turns = Transcripts.generateDs(spark, convs, hotShare = hotShare).cache()
     val n = turns.count()
     val evs = Transcripts.toEv(turns)
-    def run(salted: Boolean): (Long, Double) = {
+    val pane = 20L * 60 * 1000000
+    def run(mode: String): (Long, Double) = {
       val t0 = System.nanoTime()
-      val m =
-        if (salted) Rip.evaluateSalted(evs, patterns, paneMicros = 20L * 60 * 1000000).count()
-        else BatchEvaluator.evaluate(evs, patterns).count()
+      val m = mode match {
+        case "salted" => Rip.evaluateSalted(evs, patterns, pane).count()
+        case "auto"   => Rip.evaluateAuto(evs, patterns, pane, hotThreshold = 100000L).count()
+        case _        => BatchEvaluator.evaluate(evs, patterns).count()
+      }
       (m, (System.nanoTime() - t0) / 1e9)
     }
-    run(salted = false) // JIT warmup
+    run("plain") // JIT warmup
     val reps = sys.env.getOrElse("SPARK_GRAFT_LEVEL_REPS", "2").toInt
-    val (m, tPlain) = (1 to reps).map(_ => run(false)).minBy(_._2)
-    val (_, tSalted) = (1 to reps).map(_ => run(true)).minBy(_._2)
-    println(f"RESULT cores=$cores n=$n matches=$m plain=$tPlain%.3f salted=$tSalted%.3f hot=$hotShare%.2f")
+    val (m, tPlain) = (1 to reps).map(_ => run("plain")).minBy(_._2)
+    val (_, tSalted) = (1 to reps).map(_ => run("salted")).minBy(_._2)
+    val (mAuto, tAuto) = (1 to reps).map(_ => run("auto")).minBy(_._2)
+    require(mAuto == m, s"auto-routed match count $mAuto != plain $m")
+    println(f"RESULT cores=$cores n=$n matches=$m plain=$tPlain%.3f salted=$tSalted%.3f auto=$tAuto%.3f hot=$hotShare%.2f")
     spark.stop()
   }
 }

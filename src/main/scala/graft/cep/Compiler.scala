@@ -92,13 +92,22 @@ object Compiler {
   /** Compile a pattern; OR structures split into one compiled pattern per alternative, all
     * sharing the user pattern id — the union of their outputs is the pattern's result
     * (/root/reference/transformation/PatternTransformer.py:64-115). */
-  def compile(p: Pattern): IndexedSeq[CompiledPattern] = {
+  def compile(p: Pattern): IndexedSeq[CompiledPattern] = compile(p, Orders.Trivial)
+
+  /** Compile with a join-order strategy (SURVEY.md §4.1 "join reordering"): the left-deep
+    * tree combines the top-level positive args in the strategy's order while slots keep
+    * their pattern positions — outputs are order-invariant, intermediate buffer sizes are
+    * not. Trivial = the reference's parity default. */
+  def compile(p: Pattern, strategy: Orders.Strategy): IndexedSeq[CompiledPattern] = {
     val originalNames = p.structure.names.toSet
     val unknown = p.condition.conjuncts.flatMap(_.names).filterNot(originalNames)
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"condition references unknown event name(s): ${unknown.distinct.mkString(", ")}")
-    expandOr(p.structure).map(s => compileOne(p, s)).toIndexedSeq
+    if (strategy != Orders.Trivial)
+      require(p.policy.single.isEmpty && p.policy.next.isEmpty && p.policy.freeze.isEmpty,
+        "non-trivial join order requires MATCH_ANY (policies observe node identity / emission order)")
+    expandOr(p.structure).map(s => compileOne(p, s, strategy)).toIndexedSeq
   }
 
   /** Cartesian expansion of OR alternatives anywhere in the structure. */
@@ -114,7 +123,8 @@ object Compiler {
   private def cartesian[A](ls: List[List[A]]): List[List[A]] =
     ls.foldRight(List(List.empty[A])) { (alts, acc) => alts.flatMap(a => acc.map(a :: _)) }
 
-  private def compileOne(p: Pattern, structure: PStruct): CompiledPattern = {
+  private def compileOne(p: Pattern, structure: PStruct,
+                         strategy: Orders.Strategy = Orders.Trivial): CompiledPattern = {
     // 1. slot assignment: DFS order over the full structure (negatives keep their positions,
     //    mirroring the reference's index-by-arg-position, /root/reference/base/Pattern.py:90-101).
     var nextSlot = -1
@@ -163,13 +173,17 @@ object Compiler {
         // build in arg order so slots are assigned by original position: walk args, building
         // positives into a list and negatives into their own subtrees
         val posSpecs = mutable.ArrayBuffer.empty[Spec]
+        val posArgs = mutable.ArrayBuffer.empty[PStruct]
         val negSpecs = mutable.ArrayBuffer.empty[(Spec, Boolean)] // (subtree, unbounded)
         args.zipWithIndex.foreach {
           case (PNeg(inner), i) =>
             negSpecs += ((build(inner), negArgs.find(_.argIdx == i).get.unbounded))
-          case (a, _) => posSpecs += build(a)
+          case (a, _) => posSpecs += build(a); posArgs += a
         }
-        var root: Spec = leftDeep(posSpecs.toList, isSeqTop)
+        // join order from the strategy: slots stay in pattern positions (assigned above),
+        // only the combination order of the left-deep tree changes — output-invariant
+        val order = Orders.resolve(strategy, posArgs.toList)
+        var root: Spec = leftDeep(order.map(posSpecs).toList, isSeqTop)
         var firstUnb = -1
         // bounded first, then unbounded (naive negation algorithm)
         (negSpecs.filter(!_._2) ++ negSpecs.filter(_._2)).foreach { case (neg, unb) =>

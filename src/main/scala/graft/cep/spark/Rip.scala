@@ -47,6 +47,33 @@ object Rip {
     negSpecs.exists(ng => !ng.isSeq || ng.neg.slots.min < firstPos)
   }
 
+  /** Skew-aware auto-routing: a narrow per-key count (key column only — map-side combined,
+    * the shuffle carries one (key, long) row per distinct key) picks the keys holding more
+    * than `hotThreshold` relevant events; cold keys run the plain keyed path, hot keys the
+    * salted pane path, outputs unioned. This removes both costs of unconditional salting —
+    * the 2-3x event replication paid on uniform corpora — and the plain path's OOM cliff
+    * (BatchEvaluator materializes one key group per task; a pathological key is now fanned
+    * out over panes instead of failing). Patterns with consumption policies (which salting
+    * cannot honor) route everything through the plain path. */
+  def evaluateAuto(events: Dataset[Ev], patterns: Seq[Pattern], paneMicros: Long,
+                   hotThreshold: Long = 2000000L): Dataset[CepMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
+    val types = compiled.flatMap(_.relevantTypes).distinct
+    val policyFree = patterns.forall(p =>
+      p.policy.single.isEmpty && p.policy.freeze.isEmpty && p.policy.next.isEmpty)
+    val filtered = events.filter(col("etype").isin(types: _*))
+    val hot: Array[String] =
+      if (!policyFree) Array.empty
+      else filtered.select("key").groupBy("key").count()
+        .filter(col("count") > hotThreshold).select("key").as[String].collect()
+    if (hot.isEmpty) BatchEvaluator.evaluate(filtered, patterns)
+    else
+      BatchEvaluator.evaluate(filtered.filter(!col("key").isin(hot: _*)), patterns)
+        .union(evaluateSalted(filtered.filter(col("key").isin(hot: _*)), patterns, paneMicros))
+  }
+
   def evaluateSalted(events: Dataset[Ev], patterns: Seq[Pattern], paneMicros: Long): Dataset[CepMatch] = {
     val spark = events.sparkSession
     import spark.implicits._

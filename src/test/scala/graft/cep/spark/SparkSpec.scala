@@ -91,6 +91,26 @@ class SparkSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("auto hot-key routing equals plain, with and without a triggering hot key") {
+    val patterns = Seq(flagship.copy(id = 0), negPattern.copy(id = 1), kcPattern.copy(id = 2))
+    val plain = canon(BatchEvaluator.evaluate(evs, patterns).collect().toSeq)
+    // threshold low enough that the generated hot conversation routes through panes
+    val hotCount = evs.filter(_.key == "conv-00000").count()
+    val routed = canon(Rip.evaluateAuto(evs, patterns, paneMicros = 10 * MIN,
+      hotThreshold = hotCount / 2).collect().toSeq)
+    assert(routed == plain)
+    // threshold above every key: pure plain path (no replication, same output)
+    val unrouted = canon(Rip.evaluateAuto(evs, patterns, paneMicros = 10 * MIN,
+      hotThreshold = Long.MaxValue).collect().toSeq)
+    assert(unrouted == plain)
+    // a policy pattern routes everything plain rather than through panes
+    val withPolicy = Seq(flagship.copy(policy = Policy(single = Set("TOOL"))))
+    val p2 = canon(BatchEvaluator.evaluate(evs, withPolicy).collect().toSeq)
+    val a2 = canon(Rip.evaluateAuto(evs, withPolicy, paneMicros = 10 * MIN,
+      hotThreshold = 1L).collect().toSeq)
+    assert(a2 == p2)
+  }
+
   test("salted evaluation rejects MATCH_NEXT patterns (cross-pane consumption state)") {
     val p = flagship.copy(policy = Policy(next = Set("TOOL")))
     val e = intercept[IllegalArgumentException] {

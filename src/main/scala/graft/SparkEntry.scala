@@ -299,6 +299,54 @@ object SparkEntry {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  octet_length(encode(text)) AS n_bytes, md5(text) AS sha
         |FROM documents""".stripMargin,
+    "s_cosine_lsh" ->
+      // Replicates the random-hyperplane sketch exactly: murmur-style mix of (plane, dim)
+      // in mod-2^64 arithmetic (HUGEINT split-multiply), signed-value/Long.MaxValue plane
+      // components, sign-bit buckets per 4-plane table, candidate pairs sharing any
+      // table bucket, cosine top-1. Double math agrees bit-for-bit with the codegen'd
+      // dot_product (both accumulate left-to-right in binary64).
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |pc AS (
+        |  SELECT p, d,
+        |    ((11400714819323198485::HUGEINT * p + 14029467366897019727::HUGEINT * d)
+        |      % 18446744073709551616)::UBIGINT AS h0
+        |  FROM range(0, 16) t(p), range(0, 64) u(d)),
+        |pc2 AS (SELECT p, d, xor(h0, h0 >> 33) AS h1 FROM pc),
+        |pc3 AS (SELECT p, d,
+        |    ((((18397679294719823053::HUGEINT * (h1 >> 32)::HUGEINT) % 4294967296) * 4294967296
+        |      + 18397679294719823053::HUGEINT * (h1 & 4294967295)::HUGEINT)
+        |      % 18446744073709551616)::UBIGINT AS h2
+        |  FROM pc2),
+        |pc4 AS (SELECT p, d, xor(h2, h2 >> 33) AS h3 FROM pc3),
+        |planes AS (
+        |  SELECT p, list(
+        |    (CASE WHEN h3 >= 9223372036854775808::UBIGINT
+        |          THEN h3::HUGEINT - 18446744073709551616 ELSE h3::HUGEINT END)::DOUBLE
+        |      / 9223372036854775807 ORDER BY d) AS pl
+        |  FROM pc4 GROUP BY p),
+        |proj AS (
+        |  SELECT e.vec_id, planes.p, list_dot_product(e.v, planes.pl) AS dp
+        |  FROM e, planes),
+        |buckets AS (
+        |  SELECT vec_id, p // 4 AS t,
+        |    sum(CASE WHEN dp >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY vec_id, p // 4),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id
+        |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |sims AS (
+        |  SELECT c.vec_id, c.nn_id,
+        |    list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) AS sim
+        |  FROM cands c JOIN e ea ON ea.vec_id = c.vec_id JOIN e eb ON eb.vec_id = c.nn_id),
+        |r AS (
+        |  SELECT vec_id, nn_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk
+        |  FROM sims)
+        |SELECT vec_id, nn_id FROM r WHERE rk = 1""".stripMargin,
     "s_cosine_top1" ->
       """WITH s AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

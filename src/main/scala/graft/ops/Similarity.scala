@@ -34,9 +34,14 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
-  /** Exact cosine top-1 neighbor per vector. Ties broken by neighbor id (deterministic). */
-  def bruteTop1(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = withNorm(emb(spark, sfDir))
+  def bruteTop1(spark: SparkSession, sfDir: String): DataFrame =
+    bruteTop1(emb(spark, sfDir))
+
+  /** Exact cosine top-1 neighbor per vector (input: vec_id, v: array<double>).
+    * Ties broken by neighbor id (deterministic). */
+  def bruteTop1(vectors: DataFrame): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val e = withNorm(vectors)
     val sims = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_id"),
@@ -58,8 +63,12 @@ object Similarity {
     * `planesPerTable` sign bits each; candidate pairs share a bucket in ANY table (multi-
     * table banding, same trick as MinHash LSH — a single table's all-bits-agree event is
     * too rare for useful recall). Shuffle volume stays linear: (table, bucket, vec_id). */
-  def lshTop1(spark: SparkSession, sfDir: String, nTables: Int = 4, planesPerTable: Int = 4): DataFrame = {
-    val e = withNorm(emb(spark, sfDir))
+  def lshTop1(spark: SparkSession, sfDir: String, nTables: Int = 4, planesPerTable: Int = 4): DataFrame =
+    lshTop1(emb(spark, sfDir), nTables, planesPerTable)
+
+  def lshTop1(vectors: DataFrame, nTables: Int, planesPerTable: Int): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val e = withNorm(vectors)
     // plane projection via the codegen'd dot_product against a literal plane vector —
     // inlining 64 element_at terms per plane overflows janino's method-size limit
     def bucketCol(table: Int) = (0 until planesPerTable).map { j =>

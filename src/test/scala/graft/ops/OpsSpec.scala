@@ -46,6 +46,27 @@ class OpsSpec extends AnyFunSuite {
     assert(agree.toDouble / lsh.size > 0.2, s"agreement ${agree}/${lsh.size}")
   }
 
+  test("similarity: LSH recall >= 0.9 vs brute force on clustered embeddings") {
+    // Clustered fixture (the realistic ANN regime): 20 tight clusters of 25 vectors. The
+    // true NN sits in the same cluster at cosine ~0.99+, which multi-table sign-sketch
+    // LSH must recover — this is the quality bar, not the uniform-random smoke above.
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val dim = 64
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.zipWithIndex.map { case (x, _) => x + 0.05 * rnd.nextGaussian() }.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val brute = Similarity.bruteTop1(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshTop1(df, nTables = 4, planesPerTable = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recalled = brute.count { case (v, nn) => lsh.get(v).contains(nn) }
+    val recall = recalled.toDouble / brute.size
+    assert(recall >= 0.9, s"clustered recall $recall ($recalled/${brute.size})")
+  }
+
   test("dedup: minhash LSH pairs are exactly the >=0.4-Jaccard pairs it verifies") {
     val viaLsh = Dedup.minhashLshPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -94,21 +94,48 @@ object Bench {
     }
     val relP = Pattern(SEQ(P("A", "a"), P("B", "b")), CRel.num("a", "b", RelOp.LT), 3000L * 1000000L)
     val relC = Compiler.compile(relP)
+    // (c) multi-pattern leaf sharing: 8 patterns over disjoint type pairs, evaluated
+    //     jointly in ONE pass (shared dispatch + shared per-key feed) vs 8 separate
+    //     engine passes over the full stream — the multi-pattern sharing win.
+    val rndM = new scala.util.Random(7)
+    val multiEvents = Array.tabulate(60000) { i =>
+      Ev("k", i, "T" + rndM.nextInt(16), i.toLong * 1000000L, rndM.nextInt(100).toDouble, null, null)
+    }
+    val multiPats = (0 until 8).map(i =>
+      Pattern(SEQ(P(s"T${2 * i}", "a"), P(s"T${2 * i + 1}", "b")), CTrue, 100L * 1000000L, id = i))
+    val multiJoint = multiPats.flatMap(Compiler.compile).toIndexedSeq
+    val multiSep = multiPats.map(p => Compiler.compile(p))
+    def runSeparate(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      var m = 0L
+      multiSep.foreach { c =>
+        val eng = new MatchEngine(c)
+        multiEvents.foreach(e => m += eng.feed(e).size)
+        m += eng.finish().size
+      }
+      (m, (System.nanoTime() - t0) / 1e9)
+    }
     engRun(trivialC, reorderEvents, sorted = false) // JIT warmup
     engRun(relC, sortedEvents, sorted = true)
+    engRun(multiJoint, multiEvents, sorted = false)
     val micro = (1 to 3).map { _ =>
       (engRun(trivialC, reorderEvents, sorted = false),
         engRun(greedyC, reorderEvents, sorted = false),
         engRun(relC, sortedEvents, sorted = false),
-        engRun(relC, sortedEvents, sorted = true))
+        engRun(relC, sortedEvents, sorted = true),
+        engRun(multiJoint, multiEvents, sorted = false),
+        runSeparate())
     }
     require(micro.head._1._1 == micro.head._2._1, "reordered plan changed the match count")
     require(micro.head._3._1 == micro.head._4._1, "sorted probes changed the match count")
+    require(micro.head._5._1 == micro.head._6._1, "joint multi-pattern changed the match count")
     val microTimes = Seq(
       "cep_order_trivial" -> micro.map(_._1._2).min,
       "cep_order_greedy" -> micro.map(_._2._2).min,
       "cep_probe_scan" -> micro.map(_._3._2).min,
-      "cep_probe_sorted" -> micro.map(_._4._2).min)
+      "cep_probe_sorted" -> micro.map(_._4._2).min,
+      "cep_multi8_joint" -> micro.map(_._5._2).min,
+      "cep_multi8_separate" -> micro.map(_._6._2).min)
 
     // --- part 2: CEP scaling ------------------------------------------------------------
     // Each measurement runs in a FRESH forked JVM (same-JVM session sequences distort

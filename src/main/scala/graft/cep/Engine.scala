@@ -23,11 +23,52 @@ final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0,
 
   private val out = ArrayBuffer.empty[CepMatch]
   private val rts = patterns.map(new PatternRuntime(_, out, shedCap, sortedStorage))
-  private val allTypes: Set[String] = patterns.iterator.flatMap(_.relevantTypes).toSet
+
+  /** Shared leaf dispatch — the multi-pattern ShareLeaves merger analogue
+    * (/root/reference/plan/multi/ShareLeavesTreePlanMerger.py:5-14,
+    * /root/reference/tree/MultiPatternTree.py:22-35): one type lookup routes the event
+    * straight to the listening (pattern, leaf) pairs, and leaves of different patterns
+    * whose condition lists are equal share ONE predicate evaluation per event. Event
+    * objects are stored once (by reference) in every buffer; the Bind wrappers stay
+    * per-pattern because binds carry pattern-local slots. Play order is preserved:
+    * pattern registration order, then final-tree leaf order within a pattern. */
+  private final class Entry(val rt: PatternRuntime, val leaf: LeafSpec,
+                            val pred: Ev => Boolean, val group: Int)
+  private val (dispatch: Map[String, Array[Entry]], nGroups: Int) = {
+    val groupOf = mutable.HashMap.empty[(String, List[Cond]), Int]
+    val byType = mutable.LinkedHashMap.empty[String, ArrayBuffer[Entry]]
+    rts.foreach { rt =>
+      val cp = rt.cp
+      cp.leavesByType.foreach { case (et, leaves) =>
+        leaves.foreach { leaf =>
+          val key = (et, cp.nodeConds.getOrElse(leaf.id, Nil))
+          val g = groupOf.getOrElseUpdate(key, groupOf.size)
+          byType.getOrElseUpdate(et, ArrayBuffer.empty) +=
+            new Entry(rt, leaf, cp.statics.leafPred(leaf.id), g)
+        }
+      }
+    }
+    (byType.view.mapValues(_.toArray).toMap, groupOf.size)
+  }
+  private val verdict = new Array[Boolean](nGroups)
+  private val verdictEpoch = new Array[Long](nGroups)
+  private var epoch = 0L
 
   /** Feed one event (in (ts, idx) order); returns matches completed by this event. */
   def feed(e: Ev): Seq[CepMatch] = {
-    if (allTypes.contains(e.etype)) rts.foreach(_.feed(e))
+    dispatch.get(e.etype).foreach { entries =>
+      epoch += 1
+      var lastRt: PatternRuntime = null
+      var i = 0
+      while (i < entries.length) {
+        val en = entries(i)
+        if (en.rt ne lastRt) { en.rt.beginEvent(e); lastRt = en.rt }
+        val g = en.group
+        if (verdictEpoch(g) != epoch) { verdictEpoch(g) = epoch; verdict(g) = en.pred(e) }
+        en.rt.playLeaf(en.leaf, e, verdict(g))
+        i += 1
+      }
+    }
     drain()
   }
 
@@ -152,6 +193,33 @@ final class PatternStatics(cp: CompiledPattern) extends Serializable {
   val kcCondsByNode: Array[Array[List[Ev] => Boolean]] =
     Array.tabulate(nodes.length)(id => kcNodeConds.getOrElse(id, Nil).map(compileKcCond).toArray)
 
+  /** Leaf predicates compiled to direct Ev functions (single-event by placement,
+    * /root/reference/tree/nodes/LeafNode.py:66-80). Evaluated ONCE per event per shared
+    * leaf group by MatchEngine — the ShareLeaves merger analogue
+    * (/root/reference/plan/multi/ShareLeavesTreePlanMerger.py:5-14). */
+  private def compileLeafCond(c: Cond, leafName: String): Ev => Boolean = c match {
+    case CTrue        => _ => true
+    case CUnary(_, f) => f
+    case CAnd(cs)     => val fs = cs.map(compileLeafCond(_, leafName)).toArray; e => fs.forall(_(e))
+    case COr(cs)      => val fs = cs.map(compileLeafCond(_, leafName)).toArray; e => fs.exists(_(e))
+    case other        => e => other.eval(Map(leafName -> List(e)))
+  }
+
+  val leafPred: Array[Ev => Boolean] = Array.tabulate(nodes.length) { id =>
+    nodes(id) match {
+      case l: LeafSpec =>
+        val fs = nodeConds.getOrElse(id, Nil).map(compileLeafCond(_, l.name)).toArray
+        if (fs.isEmpty)(_: Ev) => true
+        else (e: Ev) => {
+          var i = 0
+          var ok = true
+          while (ok && i < fs.length) { ok = fs(i)(e); i += 1 }
+          ok
+        }
+      case _ => null
+    }
+  }
+
   // ---- sorted-storage access path (opt-in; mirrors the reference's
   // SortedPatternMatchStorage + BinaryNode key selection,
   // /root/reference/tree/PatternMatchStorage.py:144-283,
@@ -226,7 +294,7 @@ final case class FilteredEv(idx: Long, minTs: Long) extends Serializable
   * SURVEY.md §2.10): when a node buffer exceeds the cap, only the top-cap partial matches
   * by utility (longer chains first, then more recent) are kept — bounded state at the cost
   * of recall; NEVER enabled on the parity surface. */
-final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
+final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
                            shedCap: Int = 0, sortedStorage: Boolean = false) extends Serializable {
   import cp._
 
@@ -258,27 +326,34 @@ final class PatternRuntime(cp: CompiledPattern, out: ArrayBuffer[CepMatch],
     * (see Bind.aggId). */
   private var curIdx: Long = -1L
 
-  def feed(e: Ev): Unit = {
+  def feed(e: Ev): Unit =
+    cp.leavesByType.get(e.etype).foreach { leaves =>
+      beginEvent(e)
+      leaves.foreach(leaf => playLeaf(leaf, e, statics.leafPred(leaf.id)(e)))
+    }
+
+  /** Per-event preamble, run once per event the pattern listens to (before any leaf). */
+  def beginEvent(e: Ev): Unit = {
     curIdx = e.idx
     if (freezeMap.nonEmpty)
       freezers = freezers.filter { case (_, f) => e.ts - f.ts <= windowMicros }
-    cp.leavesByType.get(e.etype).foreach { leaves =>
-      // Fail fast on a probabilistic event hitting a pattern with no confidence threshold,
-      // mirroring the reference's exception in Node.__can_add_partial_match
-      // (/root/reference/tree/nodes/Node.py:133-146) — silently treating such events as
-      // certain would return plausible-looking but meaningless output.
-      if (e.prob >= 0 && confidence < 0)
-        throw new IllegalArgumentException(
-          s"probabilistic event (prob=${e.prob}) fed to pattern $patternId without a confidence threshold")
-      leaves.foreach { leaf =>
-        if (!frozen(leaf.name)) {
-          expire(leaf.id, e.ts)
-          val binds = Vector(Bind(leaf.slot, leaf.name, List(e)))
-          if (evalConds(leaf.id, binds))
-            propagate(leaf.id, PM(binds, e.prob), skipPark = false)
-          if (freezeMap.contains(leaf.name)) freezers ::= (leaf.name, e)
-        }
-      }
+    // Fail fast on a probabilistic event hitting a pattern with no confidence threshold,
+    // mirroring the reference's exception in Node.__can_add_partial_match
+    // (/root/reference/tree/nodes/Node.py:133-146) — silently treating such events as
+    // certain would return plausible-looking but meaningless output.
+    if (e.prob >= 0 && confidence < 0)
+      throw new IllegalArgumentException(
+        s"probabilistic event (prob=${e.prob}) fed to pattern $patternId without a confidence threshold")
+  }
+
+  /** Play one leaf (final-tree order preserved by the caller); `condPassed` is the leaf
+    * predicate verdict — evaluated once per shared leaf group by MatchEngine. */
+  def playLeaf(leaf: LeafSpec, e: Ev, condPassed: Boolean): Unit = {
+    if (!frozen(leaf.name)) {
+      expire(leaf.id, e.ts)
+      if (condPassed)
+        propagate(leaf.id, PM(Vector(Bind(leaf.slot, leaf.name, List(e))), e.prob), skipPark = false)
+      if (freezeMap.contains(leaf.name)) freezers ::= (leaf.name, e)
     }
   }
 

@@ -76,7 +76,8 @@ object Instrumented {
   * memory and printable as JSON lines — checkpoint-company for the stream evaluator. */
 final class CepQueryListener extends StreamingQueryListener {
   final case class BatchMetrics(batchId: Long, inputRows: Long, processedRowsPerSec: Double,
-                                stateRows: Long, watermark: String, observed: Map[String, Long])
+                                stateRows: Long, watermark: String, observed: Map[String, Long],
+                                durationMs: Map[String, Long] = Map.empty)
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[BatchMetrics]()
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -84,6 +85,13 @@ final class CepQueryListener extends StreamingQueryListener {
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
     val stateRows = if (p.stateOperators.nonEmpty) p.stateOperators(0).numRowsTotal else 0L
+    val stateTimes: Map[String, Long] =
+      if (p.stateOperators.isEmpty) Map.empty
+      else {
+        val s = p.stateOperators(0)
+        Map("stateUpdateMs" -> s.allUpdatesTimeMs, "stateRemovalMs" -> s.allRemovalsTimeMs,
+          "stateCommitMs" -> s.commitTimeMs)
+      }
     val observed = {
       val m = Map.newBuilder[String, Long]
       p.observedMetrics.forEach { (name, row) =>
@@ -96,8 +104,13 @@ final class CepQueryListener extends StreamingQueryListener {
       }
       m.result()
     }
+    val durations = {
+      val m = Map.newBuilder[String, Long]
+      p.durationMs.forEach((k, v) => m += k -> v.longValue())
+      m.result()
+    }
     buf.add(BatchMetrics(p.batchId, p.numInputRows, p.processedRowsPerSecond, stateRows,
-      Option(p.eventTime.get("watermark")).getOrElse(""), observed))
+      Option(p.eventTime.get("watermark")).getOrElse(""), observed, durations ++ stateTimes))
   }
 
   def batches: Seq[BatchMetrics] = {

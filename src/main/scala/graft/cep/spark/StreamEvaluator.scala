@@ -20,23 +20,47 @@ import graft.cep._
  */
 object StreamEvaluator {
 
-  /** Per-key streaming state: reorder buffer + engine snapshot. Kryo-serialized into the
-    * state store (RocksDB/HDFS-backed at scale; ~13% faster end-to-end than Java
-    * serialization on the stream bench). Restart safety needs no dedup: the state store
-    * commits transactionally per micro-batch, so a replayed batch starts from the replayed
-    * state version. */
-  final case class KeyState(pendingEvents: Vector[Ev], engine: EngineState) extends Serializable
+  /** Local-mode diagnostic counters for the stateful operator (single-JVM only — on a
+    * real cluster these stay per-executor; use Spark metrics there). Negligible overhead:
+    * a few nanoTime calls per key visit. */
+  object Prof {
+    import java.util.concurrent.atomic.AtomicLong
+    val keyVisits = new AtomicLong
+    val rowsIn = new AtomicLong
+    val readNs = new AtomicLong
+    val feedNs = new AtomicLong
+    val writeNs = new AtomicLong
+    def reset(): Unit = Seq(keyVisits, rowsIn, readNs, feedNs, writeNs).foreach(_.set(0))
+    def summary: String =
+      f"keyVisits=${keyVisits.get} rowsIn=${rowsIn.get} readMs=${readNs.get / 1000000} " +
+        f"feedMs=${feedNs.get / 1000000} writeMs=${writeNs.get / 1000000}"
+  }
 
   /** Matches with event-time watermark semantics. `delayMicros` is the allowed lateness.
     * Late events (ts below the watermark at arrival) are dropped by the watermark filter,
-    * exactly like any Spark stateful op. */
+    * exactly like any Spark stateful op.
+    *
+    * Per-key state (reorder buffer + engine snapshot) is stored as a [[StateCodec]] byte
+    * array through the BINARY encoder: the hand-rolled codec (string/event back-reference
+    * dedup, no reflection, no class metadata) replaced generic Kryo, which dominated the
+    * per-row streaming cost. Restart safety needs no output dedup: the state store commits
+    * transactionally per micro-batch, so a replayed batch starts from the replayed state
+    * version. */
+  /** `assumeOrdered = true` drops the reorder buffer: each micro-batch's events are fed
+    * immediately in (ts, idx) order, trusting the source to deliver every key's events in
+    * non-decreasing event-time order across batches (a time-sliced replay, or any source
+    * with per-key ordering). This is exactly the arrival model the reference engine
+    * assumes for ALL input (/root/reference/tree/nodes/LeafNode.py:85-98) — and it halves
+    * key visits and state rewrites, because events no longer wait one watermark cycle in
+    * the buffer. The default stays the stronger watermark-complete mode, which is
+    * deterministic under arbitrary disorder. */
   def evaluate(
       events: Dataset[Ev],
       patterns: Seq[Pattern],
-      delay: String = "10 seconds"): Dataset[CepMatch] = {
+      delay: String = "10 seconds",
+      assumeOrdered: Boolean = false): Dataset[CepMatch] = {
     val spark = events.sparkSession
-    import spark.implicits._
-    implicit val stateEnc: Encoder[KeyState] = Encoders.kryo[KeyState]
+    import spark.implicits._ // provides the BINARY encoder for the byte-array state
     val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
     val types = compiled.flatMap(_.relevantTypes).distinct
 
@@ -48,36 +72,53 @@ object StreamEvaluator {
       .as[Ev]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        processKey(compiled, maxWindowMs))
+        processKey(compiled, maxWindowMs, assumeOrdered))
   }
 
-  private def processKey(compiled: IndexedSeq[CompiledPattern], maxWindowMs: Long)(
+  private def processKey(compiled: IndexedSeq[CompiledPattern], maxWindowMs: Long,
+                         assumeOrdered: Boolean = false)(
       key: String,
       rows: Iterator[Ev],
-      state: GroupState[KeyState]): Iterator[CepMatch] = {
+      state: GroupState[Array[Byte]]): Iterator[CepMatch] = {
+    var t0 = System.nanoTime()
+    Prof.keyVisits.incrementAndGet()
     val engine = new MatchEngine(compiled)
-    val prev = state.getOption.getOrElse(KeyState(Vector.empty, null))
-    if (prev.engine != null) engine.restore(prev.engine)
+    val prevPending: Vector[Ev] = state.getOption match {
+      case Some(bytes) =>
+        val (pend, eng) = StateCodec.read(bytes)
+        engine.restore(eng)
+        pend
+      case None => Vector.empty
+    }
+    Prof.readNs.addAndGet(System.nanoTime() - t0)
 
     val incoming = rows.toVector
+    Prof.rowsIn.addAndGet(incoming.length)
     val watermark = state.getCurrentWatermarkMs() * 1000L // ms -> micros
-    val all = (prev.pendingEvents ++ incoming).sortBy(e => (e.ts, e.idx))
+    val all = (prevPending ++ incoming).sortBy(e => (e.ts, e.idx))
     // feed only the watermark-complete prefix: events at ts >= watermark may still gain
     // earlier-or-tied siblings in later batches, so they wait in the reorder buffer
-    val (ready, hold) = all.partition(_.ts < watermark)
+    // (unless the source guarantees per-key order — then everything is ready now)
+    val (ready, hold) =
+      if (assumeOrdered) (all, Vector.empty[Ev]) else all.partition(_.ts < watermark)
 
+    t0 = System.nanoTime()
     val out = Vector.newBuilder[CepMatch]
     ready.foreach(e => out ++= engine.feed(e))
     out ++= engine.advance(watermark)
+    Prof.feedNs.addAndGet(System.nanoTime() - t0)
 
     // bound state and wakeups: expired buffers can never combine with future events
     // (ts >= watermark), so prune them; a fully quiescent key is removed from the state
     // store entirely — otherwise every key would be rescanned on every micro-batch
+    t0 = System.nanoTime()
     engine.pruneExpired(watermark)
     if (hold.isEmpty && engine.isQuiescent) {
       state.remove()
+      Prof.writeNs.addAndGet(System.nanoTime() - t0)
     } else {
-      state.update(KeyState(hold, engine.snapshot()))
+      state.update(StateCodec.write(hold, engine.snapshot()))
+      Prof.writeNs.addAndGet(System.nanoTime() - t0)
       if (hold.nonEmpty || engine.hasPending)
         // wake on watermark advance to release held events / parked negation matches
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1000L)

@@ -170,6 +170,25 @@ class EngineSpec extends AnyFunSuite {
     assert(idxSets(ms) == Set(List(List(2L), List(3L))))
   }
 
+  test("multi-pattern: equal leaf conditions are evaluated once per event (leaf sharing)") {
+    var calls = 0
+    val shared: Cond = CUnary("a", (e: Ev) => { calls += 1; e.num >= 0 })
+    val p1 = Pattern(PStruct.SEQ(P("A", "a"), P("B", "b")), shared, 10 * MIN, id = 0)
+    val p2 = Pattern(PStruct.SEQ(P("A", "a"), P("C", "c")), shared, 10 * MIN, id = 1)
+    val eng = new MatchEngine((Compiler.compile(p1) ++ Compiler.compile(p2)).toIndexedSeq)
+    (0 until 20).foreach(i => eng.feed(ev("A", i, i)))
+    assert(calls == 20, s"shared leaf predicate ran $calls times for 20 events x 2 patterns")
+    // distinct condition instances do NOT share (identity grouping is conservative)
+    var calls2 = 0
+    val c1: Cond = CUnary("a", (e: Ev) => { calls2 += 1; true })
+    val c2: Cond = CUnary("a", (e: Ev) => { calls2 += 1; true })
+    val q1 = Pattern(PStruct.SEQ(P("A", "a"), P("B", "b")), c1, 10 * MIN, id = 0)
+    val q2 = Pattern(PStruct.SEQ(P("A", "a"), P("C", "c")), c2, 10 * MIN, id = 1)
+    val eng2 = new MatchEngine((Compiler.compile(q1) ++ Compiler.compile(q2)).toIndexedSeq)
+    (0 until 10).foreach(i => eng2.feed(ev("A", i, i)))
+    assert(calls2 == 20)
+  }
+
   test("sorted-storage probes are output-invariant across all relops (randomized)") {
     val rnd = new scala.util.Random(7)
     def run(p: Pattern, events: Seq[Ev], sorted: Boolean): Seq[CepMatch] =

@@ -47,6 +47,33 @@ class StreamSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("assumeOrdered mode equals batch when slices respect (ts, idx) order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val turns = Transcripts.generate(nConvs = 12)
+    val evs = Transcripts.toEv(Transcripts.toDs(spark, turns)).collect().toSeq.sortBy(e => (e.ts, e.idx))
+    val maxTs = evs.map(_.ts).max
+
+    val input = MemoryStream[Ev]
+    val out = StreamEvaluator.evaluate(input.toDS(), patterns, delay = "5 seconds",
+      assumeOrdered = true)
+    val query = out.writeStream
+      .format("memory").queryName("cepordered").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // slices cut the globally (ts, idx)-sorted stream — the ordered-arrival contract
+    evs.grouped(53).foreach { s => input.addData(s); query.processAllAvailable() }
+    input.addData(sentinel(maxTs)); query.processAllAvailable()
+    input.addData(sentinel(maxTs + 1)); query.processAllAvailable()
+    val got = canon(dropSentinel(spark.table("cepordered").as[CepMatch].collect().toSeq))
+    query.stop()
+
+    val want = canon(dropSentinel(
+      BatchEvaluator.evaluate(Transcripts.toEv(Transcripts.toDs(spark, turns)), patterns).collect().toSeq))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("checkpoint resume: kill and restart yields exactly the batch result (exactly-once sink)") {
     import spark.implicits._
     val turns = Transcripts.generate(nConvs = 10)

@@ -1,0 +1,143 @@
+package graft.cep.spark
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import graft.cep._
+
+/**
+ * HyperCube data-parallel execution for patterns WITHOUT a usable partition key
+ * (/root/reference/parallel/data_parallel/HyperCubeParallelExecutionAlgorithm.py:54-113)
+ * — the execution story the key-grouped paths cannot cover: a cross-conversation pattern
+ * would otherwise collapse onto a single task.
+ *
+ * Each (event type, attribute) pair is assigned one dimension of a task cube whose shape
+ * is the most-equal factorization of the unit budget (`calcCubicShares`, reference
+ * `:80-103`). An event of a mapped type is replicated to the UNION of the cube faces
+ * fixing each of its attribute hashes (reference `_classifier`, `:54-78`); events of
+ * unmapped types broadcast to every cell. Any candidate match therefore co-locates in at
+ * least one cell; a match is kept only by the MINIMUM cell of the intersection of its
+ * members' cell sets (reference `skip_item`, `:105-113`), so each match is emitted
+ * exactly once.
+ *
+ * Like the reference, a pattern may not bind the same event type twice (two same-type
+ * members with different attribute hashes would never co-locate).
+ */
+object HyperCube {
+
+  /** Most-equal cube factorization: start from floor(units^(1/dims)) per dim and grow
+    * greedily while the product stays within budget (reference `_calc_cubic_shares`). */
+  def calcCubicShares(units: Int, dims: Int): Array[Int] = {
+    require(units >= 1 && dims >= 1)
+    val shares = Array.fill(dims)(math.max(1, math.floor(math.pow(units, 1.0 / dims)).toInt))
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < dims) {
+        val used = shares.product
+        if (used / shares(i) * (shares(i) + 1) <= units) { shares(i) += 1; changed = true }
+        i += 1
+      }
+    }
+    shares
+  }
+
+  /** Cube geometry: `dims(i)` = (event type, attribute extractor) of dimension i. */
+  private final case class Cube(shape: Array[Int], dims: Array[(String, Ev => Long)])
+    extends Serializable {
+    val size: Int = shape.product
+    /** stride of each dimension in the linearized cell index */
+    val strides: Array[Int] = {
+      val s = new Array[Int](shape.length)
+      var acc = 1
+      var i = shape.length - 1
+      while (i >= 0) { s(i) = acc; acc *= shape(i); i -= 1 }
+      s
+    }
+    private val dimsByType: Map[String, Array[Int]] =
+      dims.indices.groupBy(i => dims(i)._1).map { case (t, is) => t -> is.toArray }
+
+    /** All cells of the face fixing dimension `d` at coordinate `c`. */
+    private def face(d: Int, c: Int): Iterator[Int] =
+      (0 until size).iterator.filter(u => (u / strides(d)) % shape(d) == c)
+
+    /** Cells an event routes to (union of its attribute faces; all cells if unmapped). */
+    def cells(e: Ev): Set[Int] = dimsByType.get(e.etype) match {
+      case None => (0 until size).toSet
+      case Some(ds) =>
+        ds.iterator.flatMap { d =>
+          val c = (math.floorMod(dims(d)._2(e), shape(d).toLong)).toInt
+          face(d, c)
+        }.toSet
+    }
+  }
+
+  /**
+   * Evaluate key-less patterns over the whole stream. `attributes` maps an event type to
+   * the numeric attribute extractors that become cube dimensions (the reference's
+   * `attributes_dict`); `units` defaults to the session's parallelism.
+   */
+  def evaluate(events: Dataset[Ev], patterns: Seq[Pattern],
+               attributes: Map[String, Seq[Ev => Long]],
+               units: Int = 0): Dataset[CepMatch] = {
+    require(attributes.nonEmpty, "attributes_dict is empty")
+    patterns.foreach { p =>
+      val types = primitiveTypes(p.structure)
+      require(types.distinct.lengthCompare(types.length) == 0,
+        s"HyperCube does not support multiple bindings of one event type, got $types")
+      // a Kleene subset binds many events of one type with different attribute hashes —
+      // they would never co-locate; such types must broadcast
+      val kcTypes = kcPrimitiveTypes(p.structure)
+      require(kcTypes.forall(t => !attributes.contains(t)),
+        s"Kleene-bound types must stay unmapped (broadcast), got mapped: ${kcTypes.filter(attributes.contains)}")
+      // negative types routed by attribute reach only their own faces (reference
+      // behavior); leave negative types unmapped to guarantee every cell sees the
+      // negatives that could invalidate its matches
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nUnits = if (units > 0) units else spark.sparkContext.defaultParallelism
+    val dims: Array[(String, Ev => Long)] =
+      attributes.toArray.sortBy(_._1).flatMap { case (t, fs) => fs.map(f => (t, f)) }
+    val cube = Cube(calcCubicShares(nUnits, dims.length), dims)
+    val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
+    val types = compiled.flatMap(_.relevantTypes).distinct
+
+    events
+      .filter(col("etype").isin(types: _*))
+      .flatMap(e => cube.cells(e).iterator.map(u => (u, e)))
+      .groupByKey(_._1)
+      .flatMapGroups { (unit: Int, it: Iterator[(Int, Ev)]) =>
+        val evs = it.map(_._2).toArray
+        java.util.Arrays.sort(evs, Ordering.by((e: Ev) => (e.ts, e.idx)))
+        val engine = new MatchEngine(compiled)
+        val out = Vector.newBuilder[CepMatch]
+        evs.foreach(e => out ++= engine.feed(e))
+        out ++= engine.finish()
+        // owner rule: keep only matches whose members' cell-set intersection has this
+        // unit as its minimum (reference skip_item)
+        out.result().iterator.filter { m =>
+          val memberCells = m.binds.iterator.flatMap(_.evs).map(cube.cells)
+          memberCells.reduce(_ intersect _).min == unit
+        }
+      }
+  }
+
+  private def kcPrimitiveTypes(s: PStruct): List[String] = s match {
+    case PKleene(a, _, _) => primitiveTypes(a)
+    case PSeq(as)         => as.flatMap(kcPrimitiveTypes)
+    case PAnd(as)         => as.flatMap(kcPrimitiveTypes)
+    case POr(as)          => as.flatMap(kcPrimitiveTypes)
+    case PNeg(a)          => kcPrimitiveTypes(a)
+    case _: Prim          => Nil
+  }
+
+  private def primitiveTypes(s: PStruct): List[String] = s match {
+    case Prim(et, _)      => List(et)
+    case PSeq(as)         => as.flatMap(primitiveTypes)
+    case PAnd(as)         => as.flatMap(primitiveTypes)
+    case POr(as)          => as.flatMap(primitiveTypes)
+    case PKleene(a, _, _) => primitiveTypes(a)
+    case PNeg(a)          => primitiveTypes(a)
+  }
+}

@@ -72,6 +72,21 @@ final case class CompiledPattern(
     * CompiledPattern, shared across all per-key runtimes in a task. */
   @transient lazy val statics: PatternStatics = new PatternStatics(this)
 
+  /** Deterministic fingerprint of the compiled PLAN SHAPE (tree topology, slots, types,
+    * window, policies) — NOT of condition lambdas. Stored with streaming state so a
+    * restart under a different join order (or changed pattern) detects the mismatch and
+    * migrates state by leaf-event replay instead of misinterpreting node-id-keyed
+    * buffers (see graft.cep.Adaptive). */
+  lazy val shapeFingerprint: Int = {
+    def render(s: Spec): String = s match {
+      case l: LeafSpec => s"L(${l.slot},${l.etype})"
+      case b: BinSpec  => s"B(${b.isSeq},${render(b.left)},${render(b.right)})"
+      case k: KCSpec   => s"K(${k.minSize},${k.maxSize},${render(k.child)})"
+      case n: NegSpec  => s"N(${n.isSeq},${n.unbounded},${render(n.pos)},${render(n.neg)})"
+    }
+    (patternId, render(root), windowMicros, confidence, singleAt, freezeMap).hashCode()
+  }
+
   /** Leaves in final-tree traversal order (positive subtree first, negation leaves after —
     * the reference's event_types_listeners order, /root/reference/tree/Tree.py:59-67 via
     * get_leaves). The order is observable when one event plays on several leaves of the

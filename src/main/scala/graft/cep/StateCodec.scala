@@ -18,9 +18,9 @@ import scala.collection.mutable.ArrayBuffer
  */
 object StateCodec {
 
-  final val Version = 1
+  final val Version = 2
 
-  def write(pendingEvents: Vector[Ev], engine: EngineState): Array[Byte] = {
+  def write(planFingerprint: Int, pendingEvents: Vector[Ev], engine: EngineState): Array[Byte] = {
     val bos = new ByteArrayOutputStream(512)
     val out = new DataOutputStream(bos)
     val strDict = new java.util.HashMap[String, Integer]()
@@ -51,6 +51,7 @@ object StateCodec {
       out.writeInt(p.binds.length); p.binds.foreach(wBind); out.writeDouble(p.prob)
     }
     out.writeByte(Version)
+    out.writeInt(planFingerprint)
     out.writeInt(pendingEvents.length); pendingEvents.foreach(wEv)
     out.writeInt(engine.runtimes.length)
     engine.runtimes.foreach { rt =>
@@ -69,7 +70,7 @@ object StateCodec {
     bos.toByteArray
   }
 
-  def read(bytes: Array[Byte]): (Vector[Ev], EngineState) = {
+  def read(bytes: Array[Byte]): (Int, Vector[Ev], EngineState) = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val strs = ArrayBuffer.empty[String]
     val evs = ArrayBuffer.empty[Ev]
@@ -109,6 +110,7 @@ object StateCodec {
     }
     val v = in.readByte()
     require(v == Version, s"unsupported state version $v")
+    val fp = in.readInt()
     val pending = rSeq(rEv)
     val runtimes = rSeq { () =>
       RuntimeState(
@@ -117,6 +119,6 @@ object StateCodec {
         filtered = rSeq(() => (in.readInt(), rSeq(() => FilteredEv(in.readLong(), in.readLong())))),
         freezers = rSeq(() => (rs(), rEv())))
     }
-    (pending, EngineState(runtimes))
+    (fp, pending, EngineState(runtimes))
   }
 }

@@ -58,10 +58,11 @@ object StreamEvaluator {
       events: Dataset[Ev],
       patterns: Seq[Pattern],
       delay: String = "10 seconds",
-      assumeOrdered: Boolean = false): Dataset[CepMatch] = {
+      assumeOrdered: Boolean = false,
+      order: Orders.Strategy = Orders.Trivial): Dataset[CepMatch] = {
     val spark = events.sparkSession
     import spark.implicits._ // provides the BINARY encoder for the byte-array state
-    val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
+    val compiled = patterns.flatMap(p => Compiler.compile(p, order)).toIndexedSeq
     val types = compiled.flatMap(_.relevantTypes).distinct
 
     val maxWindowMs = compiled.map(_.windowMicros).max / 1000L
@@ -82,11 +83,17 @@ object StreamEvaluator {
       state: GroupState[Array[Byte]]): Iterator[CepMatch] = {
     var t0 = System.nanoTime()
     Prof.keyVisits.incrementAndGet()
-    val engine = new MatchEngine(compiled)
+    val fingerprint = Adaptive.fingerprint(compiled)
+    var engine = new MatchEngine(compiled)
     val prevPending: Vector[Ev] = state.getOption match {
       case Some(bytes) =>
-        val (pend, eng) = StateCodec.read(bytes)
-        engine.restore(eng)
+        val (storedFp, pend, eng) = StateCodec.read(bytes)
+        if (storedFp == fingerprint) engine.restore(eng)
+        else
+          // checkpoint written under a different plan (join order changed between
+          // restarts, or the pattern itself evolved): migrate by leaf-event replay —
+          // the reference's trivial tree swap (graft.cep.Adaptive)
+          engine = Adaptive.migrate(eng, compiled)
         pend
       case None => Vector.empty
     }
@@ -117,7 +124,7 @@ object StreamEvaluator {
       state.remove()
       Prof.writeNs.addAndGet(System.nanoTime() - t0)
     } else {
-      state.update(StateCodec.write(hold, engine.snapshot()))
+      state.update(StateCodec.write(fingerprint, hold, engine.snapshot()))
       Prof.writeNs.addAndGet(System.nanoTime() - t0)
       if (hold.nonEmpty || engine.hasPending)
         // wake on watermark advance to release held events / parked negation matches

@@ -74,6 +74,52 @@ class StreamSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("adaptive replan across restart: resume under a DIFFERENT join order still equals batch") {
+    import spark.implicits._
+    val turns = Transcripts.generate(nConvs = 10)
+    val evs = Transcripts.toEv(Transcripts.toDs(spark, turns)).collect().toSeq.sortBy(e => (e.ts, e.idx))
+    val maxTs = evs.map(_.ts).max
+    val dir = Files.createTempDirectory("cepadaptive")
+    val srcDir = s"$dir/src"; val ckpt = s"$dir/ckpt"; val outDir = s"$dir/out"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val schema = spark.emptyDataset[Ev].schema
+    def writeSlice(slice: Seq[Ev], n: Int): Unit =
+      spark.createDataset(slice).repartition(1).write.parquet(s"$srcDir/batch$n")
+    val half = evs.length / 2
+    writeSlice(evs.take(half), 0)
+
+    def startQuery(order: Orders.Strategy) = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/batch*").as[Ev]
+      StreamEvaluator.evaluate(src, patterns, delay = "5 seconds", order = order)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+
+    val q1 = startQuery(Orders.Trivial)
+    q1.processAllAvailable()
+    q1.stop()
+    // "statistics drifted": the restarted query compiles a different join order; per-key
+    // state written under the trivial plan is fingerprint-detected and migrated by
+    // leaf-event replay (the reference's trivial tree swap)
+    writeSlice(evs.drop(half), 1)
+    writeSlice(Seq(sentinel(maxTs)), 2)
+    writeSlice(Seq(sentinel(maxTs + 1)), 3)
+    val q2 = startQuery(Orders.AscendingRate(
+      Map("USER" -> 5.0, "TOOL" -> 1.0, "ASSISTANT" -> 10.0)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = canon(dropSentinel(spark.read.parquet(outDir).as[CepMatch].collect().toSeq))
+    val want = canon(dropSentinel(
+      BatchEvaluator.evaluate(Transcripts.toEv(Transcripts.toDs(spark, turns)), patterns).collect().toSeq))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("checkpoint resume: kill and restart yields exactly the batch result (exactly-once sink)") {
     import spark.implicits._
     val turns = Transcripts.generate(nConvs = 10)

@@ -31,41 +31,28 @@ final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0,
     * whose condition lists are equal share ONE predicate evaluation per event. Event
     * objects are stored once (by reference) in every buffer; the Bind wrappers stay
     * per-pattern because binds carry pattern-local slots. Play order is preserved:
-    * pattern registration order, then final-tree leaf order within a pattern. */
-  private final class Entry(val rt: PatternRuntime, val leaf: LeafSpec,
-                            val pred: Ev => Boolean, val group: Int)
-  private val (dispatch: Map[String, Array[Entry]], nGroups: Int) = {
-    val groupOf = mutable.HashMap.empty[(String, List[Cond]), Int]
-    val byType = mutable.LinkedHashMap.empty[String, ArrayBuffer[Entry]]
-    rts.foreach { rt =>
-      val cp = rt.cp
-      cp.leavesByType.foreach { case (et, leaves) =>
-        leaves.foreach { leaf =>
-          val key = (et, cp.nodeConds.getOrElse(leaf.id, Nil))
-          val g = groupOf.getOrElseUpdate(key, groupOf.size)
-          byType.getOrElseUpdate(et, ArrayBuffer.empty) +=
-            new Entry(rt, leaf, cp.statics.leafPred(leaf.id), g)
-        }
-      }
-    }
-    (byType.view.mapValues(_.toArray).toMap, groupOf.size)
-  }
-  private val verdict = new Array[Boolean](nGroups)
-  private val verdictEpoch = new Array[Long](nGroups)
+    * pattern registration order, then final-tree leaf order within a pattern.
+    * The table depends only on the pattern set, so it is built once per task closure and
+    * cached on the patterns' statics (an engine is constructed PER KEY — millions of
+    * times per run; rebuilding hash maps there measurably costs). */
+  private val tmpl = MatchEngine.dispatchFor(patterns)
+  private val verdict = new Array[Boolean](tmpl.nGroups)
+  private val verdictEpoch = new Array[Long](tmpl.nGroups)
   private var epoch = 0L
 
   /** Feed one event (in (ts, idx) order); returns matches completed by this event. */
   def feed(e: Ev): Seq[CepMatch] = {
-    dispatch.get(e.etype).foreach { entries =>
+    tmpl.byType.get(e.etype).foreach { entries =>
       epoch += 1
-      var lastRt: PatternRuntime = null
+      var last = -1
       var i = 0
       while (i < entries.length) {
         val en = entries(i)
-        if (en.rt ne lastRt) { en.rt.beginEvent(e); lastRt = en.rt }
+        val rt = rts(en.rtIdx)
+        if (en.rtIdx != last) { rt.beginEvent(e); last = en.rtIdx }
         val g = en.group
         if (verdictEpoch(g) != epoch) { verdictEpoch(g) = epoch; verdict(g) = en.pred(e) }
-        en.rt.playLeaf(en.leaf, e, verdict(g))
+        rt.playLeaf(en.leaf, e, verdict(g))
         i += 1
       }
     }
@@ -102,6 +89,46 @@ final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0,
   def hasPending: Boolean = rts.exists(_.hasPending)
 }
 
+object MatchEngine {
+  /** One dispatch row: runtime index (into the engine's rts), the leaf to play, the
+    * shared predicate, and the predicate-sharing group id. */
+  final class DEntry(val rtIdx: Int, val leaf: LeafSpec, val pred: Ev => Boolean, val group: Int)
+  final class Dispatch(val byType: Map[String, Array[DEntry]], val nGroups: Int)
+
+  private val emptyDispatch = new Dispatch(Map.empty, 0)
+
+  private def buildDispatch(patterns: IndexedSeq[CompiledPattern]): Dispatch = {
+    val groupOf = mutable.HashMap.empty[(String, List[Cond]), Int]
+    val byType = mutable.LinkedHashMap.empty[String, ArrayBuffer[DEntry]]
+    patterns.zipWithIndex.foreach { case (cp, ri) =>
+      cp.leavesByType.foreach { case (et, leaves) =>
+        leaves.foreach { leaf =>
+          val key = (et, cp.nodeConds.getOrElse(leaf.id, Nil))
+          val g = groupOf.getOrElseUpdate(key, groupOf.size)
+          byType.getOrElseUpdate(et, ArrayBuffer.empty) +=
+            new DEntry(ri, leaf, cp.statics.leafPred(leaf.id), g)
+        }
+      }
+    }
+    new Dispatch(byType.view.mapValues(_.toArray).toMap, groupOf.size)
+  }
+
+  /** Dispatch table cached on the first pattern's statics, keyed by the pattern-set
+    * instance: every per-key engine built from the same task closure reuses it. The cache
+    * lives exactly as long as the closure's patterns, so no leak. */
+  private[cep] def dispatchFor(patterns: IndexedSeq[CompiledPattern]): Dispatch = {
+    if (patterns.isEmpty) return emptyDispatch
+    val host = patterns.head.statics
+    host.dispatchCache match {
+      case (k: AnyRef, d: Dispatch) if k eq patterns => d
+      case _ =>
+        val d = buildDispatch(patterns)
+        host.dispatchCache = (patterns, d)
+        d
+    }
+  }
+}
+
 /**
  * Per-CompiledPattern runtime statics: slot-resolved condition evaluators. Built lazily
  * once per deserialized CompiledPattern (i.e. once per executor task closure), shared by
@@ -110,6 +137,10 @@ final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0,
  */
 final class PatternStatics(cp: CompiledPattern) extends Serializable {
   import cp._
+
+  /** (patternSetRef, MatchEngine.Dispatch) cached by MatchEngine.dispatchFor; benign
+    * race (rebuild-and-replace) under concurrent first use. */
+  @volatile private[cep] var dispatchCache: AnyRef = _
 
   /** Candidate bind slots per name: the leaf slot, plus the KC bind slot when the name is
     * under a Kleene closure (above the KC node the bind carries the aggregated slot). */

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftfn.DotProduct
+import org.apache.spark.sql.graftfn.{DotProduct, WrappingAffine}
 
 /** Public registration/API surface for the custom vector expressions
   * (see org.apache.spark.sql.graftfn.DotProduct). */
@@ -16,6 +16,10 @@ object VectorFunctions {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("wrap_affine"),
+      new ExpressionInfo(classOf[WrappingAffine].getName, "wrap_affine"),
+      (children: Seq[Expression]) => WrappingAffine(children.head, children(1), children(2)))
   }
 
   /** Column-API sugar: registers on first use, then resolves through the registry. */

@@ -80,17 +80,26 @@ object Dedup {
     h
   }
 
-  private val minhashUdf = {
+  private val fnv1aUdf = udf { g: String => fnv1a(g) }
+
+  /** MinHash signature WITHOUT materializing per-doc gram lists: one scalar FNV-1a per
+    * gram row, then 32 native `min` aggregates over affine lane values computed in
+    * Catalyst (Spark long arithmetic wraps exactly like the JVM's, and `min` on LongType
+    * is the signed min the lanes need). Map-side partial aggregation keeps per-doc state
+    * at 32 longs — a corpus-scale document can no longer blow up an aggregation buffer
+    * the way collect_list-then-UDF could. */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(sh.sparkSession)
     val AS = (1 to 32).map(i => 0x9e3779b97f4a7c15L * i | 1L).toArray
     val BS = (1 to 32).map(i => 0xc2b2ae3d27d4eb4fL * i | 1L).toArray
-    udf { grams: Seq[String] =>
-      val hs = grams.map(fnv1a)
-      AS.indices.map { k =>
-        var m = Long.MaxValue
-        hs.foreach { h => val v = AS(k) * h + BS(k); if (v < m) m = v }
-        m
-      }
-    }
+    // wrap_affine = a*h+b with two's-complement wrap (ANSI mode would throw on the
+    // intended overflow); native expression, stays inside whole-stage codegen
+    val lanes = AS.indices.map(k =>
+      min(call_function("wrap_affine", lit(AS(k)), col("h"), lit(BS(k)))).as(s"m$k"))
+    sh.withColumn("h", fnv1aUdf(col("gram")))
+      .groupBy("doc_id")
+      .agg(lanes.head, lanes.tail: _*)
+      .select(col("doc_id"), array(AS.indices.map(k => col(s"m$k")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding: 32 hashes, 8 bands x 4 rows. Docs sharing any band bucket are
@@ -101,8 +110,7 @@ object Dedup {
     * false candidates; the shuffle row stays fixed-width and narrow. */
   def minhashLshPairs(spark: SparkSession, sfDir: String, minSim: Double = 0.4): DataFrame = {
     val sh = shingles(spark, sfDir)
-    val sigs = sh.groupBy("doc_id").agg(collect_list("gram").as("grams"))
-      .select(col("doc_id"), minhashUdf(col("grams")).as("sig"))
+    val sigs = minhashSigs(sh)
     val bands = sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(7)), b => slice(col("sig"), b * lit(4) + lit(1), lit(4)))))
       .toDF("doc_id", "band", "bucket")
@@ -122,17 +130,19 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
-  private val simhashUdf = udf { grams: Seq[String] =>
-    val acc = new Array[Int](64)
-    grams.foreach { g =>
-      val h = fnv1a(g)
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
-    sig
+  /** SimHash signature via native aggregation (same scale rationale as [[minhashSigs]]):
+    * per-bit set-counts as 64 map-side-combined sums, majority vote folded into the
+    * 64-bit signature in Catalyst. acc(b) > 0 (set minus unset) == 2 * ones > total. */
+  private def simhashSigs(sh: DataFrame): DataFrame = {
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b"))
+    val sigCol = (0 until 64).map(b =>
+      when(lit(2) * col(s"b$b") > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    sh.withColumn("h", fnv1aUdf(col("gram")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .select(col("doc_id"), sigCol.as("sig"))
   }
 
   /** SimHash near-dup pairs: 64-bit signature per doc, pairs within `maxHamming`.
@@ -140,8 +150,7 @@ object Dedup {
     * hamming<=3 shares at least one exact quarter), so no full cross join. */
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
     val sh = shingles(spark, sfDir)
-    val sigs = sh.groupBy("doc_id").agg(collect_list("gram").as("grams"))
-      .select(col("doc_id"), simhashUdf(col("grams")).as("sig"))
+    val sigs = simhashSigs(sh)
     val quarters = array((0 until 4).map(q => struct(
       lit(q).as("q"),
       shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xffffL)).as("quarter"))): _*)

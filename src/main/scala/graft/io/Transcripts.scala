@@ -104,10 +104,12 @@ object Transcripts {
 /** Schema-on-read CSV source for transcripts — the analogue of the reference's
   * CSV DataFormatters (/root/reference/plugin/stocks/Stocks.py:34-61,
   * /root/reference/plugin/citibike/CitiBikeFormatter.py:26-124): explicit StructType,
-  * header tolerance, timestamp parsing, nullable tool column. */
+  * header SNIFFING with legacy/modern dual-schema support (the CitiBike formatter's
+  * defining trick), timestamp parsing, nullable tool column, malformed-row dropping. */
 object TranscriptsCsv {
   import org.apache.spark.sql.types._
 
+  /** Canonical (modern) layout. */
   val schema: StructType = StructType(Seq(
     StructField("conv_id", StringType, nullable = false),
     StructField("turn_idx", IntegerType, nullable = false),
@@ -116,18 +118,65 @@ object TranscriptsCsv {
     StructField("tool", StringType, nullable = true),
     StructField("ts", TimestampType, nullable = false)))
 
+  /** Legacy export layout: renamed columns, epoch-millis timestamps, a trailing column we
+    * discard — the reference's CitiBike "old format" situation
+    * (/root/reference/plugin/citibike/CitiBikeFormatter.py:26-75). */
+  val legacySchema: StructType = StructType(Seq(
+    StructField("conversation", StringType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
+    StructField("speaker", StringType, nullable = false),
+    StructField("content", StringType, nullable = true),
+    StructField("tool_name", StringType, nullable = true),
+    StructField("ts_millis", LongType, nullable = false),
+    StructField("export_tag", StringType, nullable = true)))
+
+  /** Sniff the header line to pick the layout (reference `CitiBikeFormatter.__init__`
+    * peeks the first row the same way). One tiny driver-side read of one line. */
+  private def sniffLegacy(spark: SparkSession, path: String): Boolean = {
+    val first = spark.read.text(path).head(1).headOption.map(_.getString(0)).getOrElse("")
+    first.split(",").headOption.map(_.trim.toLowerCase).contains("conversation")
+  }
+
   def read(spark: SparkSession, path: String, header: Boolean = true): Dataset[Transcripts.Turn] = {
     import spark.implicits._
-    spark.read
-      .option("header", header.toString)
-      .option("mode", "DROPMALFORMED")
-      .schema(schema)
-      .csv(path)
-      .as[Transcripts.Turn]
+    if (header && sniffLegacy(spark, path)) {
+      spark.read
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .schema(legacySchema)
+        .csv(path)
+        .select(
+          col("conversation").as("conv_id"),
+          col("idx").as("turn_idx"),
+          col("speaker").as("role"),
+          col("content").as("text"),
+          col("tool_name").as("tool"),
+          timestamp_millis(col("ts_millis")).as("ts"))
+        .as[Transcripts.Turn]
+    } else {
+      spark.read
+        .option("header", header.toString)
+        .option("mode", "DROPMALFORMED")
+        .schema(schema)
+        .csv(path)
+        .as[Transcripts.Turn]
+    }
   }
 
   def write(ds: Dataset[Transcripts.Turn], path: String): Unit =
     ds.write.option("header", "true").mode("overwrite").csv(path)
+
+  /** Write the legacy layout (test fixture + migration tooling). */
+  def writeLegacy(ds: Dataset[Transcripts.Turn], path: String): Unit =
+    ds.select(
+      col("conv_id").as("conversation"),
+      col("turn_idx").as("idx"),
+      col("role").as("speaker"),
+      col("text").as("content"),
+      col("tool").as("tool_name"),
+      unix_millis(col("ts")).as("ts_millis"),
+      lit("v1").as("export_tag"))
+      .write.option("header", "true").mode("overwrite").csv(path)
 }
 
 /** Adapter for the driver's events table (events.parquet under /root/testdata/sf&#42;):

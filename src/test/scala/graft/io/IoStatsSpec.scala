@@ -18,6 +18,18 @@ class IoStatsSpec extends AnyFunSuite {
     assert(canon(back.toSeq) == canon(turns))
   }
 
+  test("legacy CSV layout is sniffed from the header and mapped to the canonical schema") {
+    val turns = Transcripts.generate(nConvs = 5)
+    val ds = Transcripts.toDs(spark, turns)
+    val dir = java.nio.file.Files.createTempDirectory("graftcsvlegacy").toString + "/t"
+    TranscriptsCsv.writeLegacy(ds, dir)
+    val back = TranscriptsCsv.read(spark, dir).collect() // same read() entry point: sniffed
+    def canon(ts: Seq[Transcripts.Turn]) =
+      ts.sortBy(t => (t.conv_id, t.turn_idx)).map(t =>
+        (t.conv_id, t.turn_idx, t.role, t.text, Option(t.tool), t.ts.getTime))
+    assert(canon(back.toSeq) == canon(turns))
+  }
+
   test("arrival rates: windowed per-type counts sum to the input size") {
     val evs = Transcripts.toEv(Transcripts.toDs(spark, Transcripts.generate(nConvs = 10)))
     val rates = Stats.arrivalRates(evs, "10 minutes").collect()

@@ -13,8 +13,10 @@ import graft.io.Transcripts
  *       sandbox stand-in for the north rule's N vs 4N executor scaling (headline pair
  *       2 -> 8; 8 -> 32 reported too, but this single-socket VM is memory-bandwidth-bound
  *       beyond ~8 row-processing threads);
- *     - skew demo on the 30%-hot-conversation corpus: plain groupByKey vs RIP-salted.
- * Prints ONE JSON line.
+ *     - skew demos in two regimes: an 80%-hot cliff corpus (plain serializes on the hot
+ *       task; salting fans it out) and a 30%-hot mixed corpus at 4x volume (auto-routing
+ *       beats always-salting by skipping replication on the cold majority).
+ * Prints ONE JSON line (and a BENCH_SELF.json copy).
  */
 object Bench {
 
@@ -41,7 +43,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "60000").toInt
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "40000").toInt
 
     // --- part 1: driver queries ---------------------------------------------------------
     // Warmup pass first: without it the alphabetically-first query absorbs all one-time
@@ -190,9 +192,13 @@ object Bench {
     (1 to reps).foreach { _ =>
       levels.foreach(c => runs(c) = forkLevel(c, scalingConvs, 0.0) :: runs(c))
     }
-    // skew demo: hot corpus (30% of turns in one conversation) at full parallelism —
-    // plain is bound by the hot key's single task; RIP salting fans it out
-    val skew = forkLevel(cpus, benchConvs, 0.3)
+    // skew demos at full parallelism, two regimes:
+    //  - cliff: 80% of turns in ONE conversation — plain serializes on the hot task;
+    //    salting fans it out (the mechanism's reason to exist)
+    //  - mixed: 30% hot at 4x the volume — always-salting pays replication on the cold
+    //    majority; auto-routing salts only the detected hot key and wins
+    val skew = forkLevel(cpus, benchConvs, 0.8)
+    val skewMix = forkLevel(cpus, sys.env.getOrElse("SPARK_GRAFT_SKEWMIX_CONVS", "300000").toInt, 0.3)
     val (steal1, total1) = stealJiffies()
     val stealPct = 100.0 * (steal1 - steal0) / math.max(1, total1 - total0)
 
@@ -212,7 +218,9 @@ object Bench {
       "cep_uniform_plain_2" -> r2.plain, "cep_uniform_plain_8" -> r8.plain,
       "cep_uniform_plain_32" -> r32.plain, "cep_uniform_auto_32" -> r32.auto,
       "cep_skew_plain" -> skew.plain, "cep_skew_salted" -> skew.salted,
-      "cep_skew_auto" -> skew.auto))
+      "cep_skew_auto" -> skew.auto,
+      "cep_skewmix_plain" -> skewMix.plain, "cep_skewmix_salted" -> skewMix.salted,
+      "cep_skewmix_auto" -> skewMix.auto))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
     val json =
@@ -222,7 +230,9 @@ object Bench {
         s""""cep_throughput_32":${thr(32).toLong},""" +
         f""""scaling_efficiency_n_to_4n":$eff2to8%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f,""" +
         s""""skew_turns":${skew.n},"skew_plain_sec":${skew.plain},"skew_salted_sec":${skew.salted},""" +
-        s""""skew_auto_sec":${skew.auto},""" +
+        s""""skew_auto_sec":${skew.auto},"skewmix_turns":${skewMix.n},""" +
+        s""""skewmix_plain_sec":${skewMix.plain},"skewmix_salted_sec":${skewMix.salted},""" +
+        s""""skewmix_auto_sec":${skewMix.auto},""" +
         f""""host_cpu_steal_pct":$stealPct%.1f}"""
     // bare line on stdout (build.sbt routes forked run output straight through, no sbt
     // [info] prefix) AND a file copy — round 1's metric line was swallowed by the log

@@ -86,6 +86,16 @@ object Queries {
         col("v_idx").as("v_id"), col("c_idx").as("c_id"), col("b_idx").as("b_id"))
   }
 
+  /** Same result through the auto hot-key router (threshold forced low so the routing
+    * actually splits hot/cold at sf scale) — shares seq3's oracle. */
+  def cepAutoSeq3(s: SparkSession, dir: String): DataFrame = {
+    val ms = Rip.evaluateAuto(EventsTable.load(s, dir), Seq(seq3Pattern),
+      paneMicros = 24 * H, hotThreshold = 50L)
+    BatchEvaluator.flat(ms, seq3Pattern)
+      .select(col("key").cast("long").as("user_id"),
+        col("v_idx").as("v_id"), col("c_idx").as("c_id"), col("b_idx").as("b_id"))
+  }
+
   // ---- relational / window engine smoke ----------------------------------------------
 
   def q1Agg(s: SparkSession, dir: String): DataFrame =

@@ -20,6 +20,7 @@ object SparkEntry {
     "cep_and2" -> (Queries.cepAnd2 _),
     "cep_kleene" -> (Queries.cepKleene _),
     "cep_salted_seq3" -> (Queries.cepSaltedSeq3 _),
+    "cep_auto_seq3" -> (Queries.cepAutoSeq3 _),
     // relational / window smoke (§2.2, §2.5)
     "q1_agg" -> (Queries.q1Agg _),
     "q_join_nation" -> (Queries.qJoinNation _),
@@ -191,6 +192,12 @@ object SparkEntry {
         |WHERE e.event_type = 'error' AND b.event_type = 'purchase'
         |  AND abs(epoch_us(e.ts) - epoch_us(b.ts)) <= 3600000000""".stripMargin,
     "cep_salted_seq3" ->
+      """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id, b.event_id AS b_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id JOIN events b ON v.user_id = b.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND v.ts <= c.ts AND c.ts <= b.ts
+        |  AND epoch_us(b.ts) - epoch_us(v.ts) <= 86400000000""".stripMargin,
+    "cep_auto_seq3" ->
       """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id, b.event_id AS b_id
         |FROM events v JOIN events c ON v.user_id = c.user_id JOIN events b ON v.user_id = b.user_id
         |WHERE v.event_type = 'view' AND c.event_type = 'click' AND b.event_type = 'purchase'

@@ -198,7 +198,9 @@ object Bench {
     //  - mixed: 30% hot at 4x the volume — always-salting pays replication on the cold
     //    majority; auto-routing salts only the detected hot key and wins
     val skew = forkLevel(cpus, benchConvs, 0.8)
-    val skewMix = forkLevel(cpus, sys.env.getOrElse("SPARK_GRAFT_SKEWMIX_CONVS", "300000").toInt, 0.3)
+    // 150k convs keeps the mixed-regime point while bounding total bench wall-time
+    // (the driver runs this end-to-end; a >30 min bench risks its timeout)
+    val skewMix = forkLevel(cpus, sys.env.getOrElse("SPARK_GRAFT_SKEWMIX_CONVS", "150000").toInt, 0.3)
     val (steal1, total1) = stealJiffies()
     val stealPct = 100.0 * (steal1 - steal0) / math.max(1, total1 - total0)
 

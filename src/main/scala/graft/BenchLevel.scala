@@ -42,9 +42,12 @@ object BenchLevel {
     }
     run("plain") // JIT warmup
     val reps = sys.env.getOrElse("SPARK_GRAFT_LEVEL_REPS", "2").toInt
-    val (m, tPlain) = (1 to reps).map(_ => run("plain")).minBy(_._2)
-    val (_, tSalted) = (1 to reps).map(_ => run("salted")).minBy(_._2)
-    val (mAuto, tAuto) = (1 to reps).map(_ => run("auto")).minBy(_._2)
+    // interleave modes within each rep (not mode-blocked): host-steal bursts and in-JVM
+    // heap drift then hit all modes evenly instead of whichever mode runs last
+    val rs = (1 to reps).map(_ => (run("plain"), run("salted"), run("auto")))
+    val (m, tPlain) = rs.map(_._1).minBy(_._2)
+    val (_, tSalted) = rs.map(_._2).minBy(_._2)
+    val (mAuto, tAuto) = rs.map(_._3).minBy(_._2)
     require(mAuto == m, s"auto-routed match count $mAuto != plain $m")
     println(f"RESULT cores=$cores n=$n matches=$m plain=$tPlain%.3f salted=$tSalted%.3f auto=$tAuto%.3f hot=$hotShare%.2f")
     spark.stop()

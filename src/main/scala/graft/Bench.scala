@@ -1,21 +1,29 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.cep.spark.{BatchEvaluator, Rip}
 import graft.io.Transcripts
 
 /**
- * Benchmark main. Two parts:
- *  1. the driver-contract query set on SPARK_GRAFT_SF_DIR (timed via count());
- *  2. the CEP transcript workload (flagship + negation + Kleene patterns over the seeded
- *     generator), each measurement in a fresh forked JVM:
- *     - scaling series on a UNIFORM corpus at local[2] / local[8] / local[32] — the
- *       sandbox stand-in for the north rule's N vs 4N executor scaling (headline pair
- *       2 -> 8; 8 -> 32 reported too, but this single-socket VM is memory-bandwidth-bound
- *       beyond ~8 row-processing threads);
- *     - skew demos in two regimes: an 80%-hot cliff corpus (plain serializes on the hot
- *       task; salting fans it out) and a 30%-hot mixed corpus at 4x volume (auto-routing
- *       beats always-salting by skipping replication on the cold majority).
+ * Benchmark main. Parts:
+ *  1. the driver-contract query set on SPARK_GRAFT_SF_DIR (warmup pass, then timed);
+ *  1b. pure-JVM engine micro-benches (join reorder, sorted probes, multi-pattern sharing);
+ *  2. CEP transcript scaling series: plain evaluator on a UNIFORM corpus at
+ *     local[2]/local[8]/local[32], each measurement a fresh forked JVM, parent reps
+ *     INTERLEAVED across levels — the sandbox stand-in for the north rule's N vs 4N
+ *     executor scaling (headline pair 2 -> 8; this single-socket VM is
+ *     memory-bandwidth-bound beyond ~8 row-processing threads);
+ *  3. cliff-skew demo (80% of turns in ONE conversation): plain/salted/auto interleaved
+ *     within the fork — plain serializes on the hot task, salting fans it out;
+ *  4. (FULL profile only) mixed-skew demo (30% hot at higher volume): always-salting
+ *     pays replication on the cold majority; auto-routing wins.
+ *
+ * BUDGET DISCIPLINE (round-2 bench hit the driver's timeout, rc=124, recording nothing):
+ * the default profile is sized to finish in ~10 min on this box — rep 1 of every block
+ * always runs; rep 2+ and the mixed-skew block are skipped once the soft deadline
+ * (SPARK_GRAFT_BENCH_BUDGET_SEC, default 600 s) has passed, and skipping is recorded as
+ * "truncated":true. SPARK_GRAFT_BENCH_FULL=1 enables the full matrix (bigger corpora,
+ * more reps, mixed-skew block) for self-runs with no external timeout.
+ *
  * Prints ONE JSON line (and a BENCH_SELF.json copy).
  */
 object Bench {
@@ -41,9 +49,46 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "40000").toInt
+    val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC",
+      if (full) "100000" else "600").toInt
+    var truncated = false
+    /** Gate for optional (rep 2+ / mixed-skew) work: false once past the soft deadline. */
+    def withinBudget: Boolean = {
+      val ok = elapsed < budgetSec
+      if (!ok && !truncated) {
+        truncated = true
+        System.err.println(f"[bench] soft deadline ${budgetSec}s passed at $elapsed%.0fs — skipping optional reps")
+      }
+      ok
+    }
+
+    // --- part 0: pre-generate fork corpora (parent at full parallelism) ------------------
+    // Forks only READ these — generating inside each fork paid ~30-60 s at low parallelism
+    // and put corpus-generation noise inside the measurement window.
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/dev/shm/graft-bench-corpus")
+    val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS",
+      if (full) "250000" else "150000").toInt
+    val cliffConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS",
+      if (full) "40000" else "20000").toInt
+    val mixConvs = sys.env.getOrElse("SPARK_GRAFT_SKEWMIX_CONVS", "150000").toInt
+    val uniformPath = s"$corpusDir/uniform"
+    val cliffPath = s"$corpusDir/cliff"
+    val mixPath = s"$corpusDir/mix"
+    locally {
+      val s = session(cpus)
+      Transcripts.generateDs(s, scalingConvs, hotShare = 0.0)
+        .write.mode("overwrite").parquet(uniformPath)
+      Transcripts.generateDs(s, cliffConvs, hotShare = 0.8)
+        .write.mode("overwrite").parquet(cliffPath)
+      if (full) Transcripts.generateDs(s, mixConvs, hotShare = 0.3)
+        .write.mode("overwrite").parquet(mixPath)
+      s.stop()
+    }
 
     // --- part 1: driver queries ---------------------------------------------------------
     // Warmup pass first: without it the alphabetically-first query absorbs all one-time
@@ -139,13 +184,13 @@ object Bench {
       "cep_multi8_joint" -> micro.map(_._5._2).min,
       "cep_multi8_separate" -> micro.map(_._6._2).min)
 
-    // --- part 2: CEP scaling ------------------------------------------------------------
+    // --- part 2+: forked CEP measurements -------------------------------------------------
     // Each measurement runs in a FRESH forked JVM (same-JVM session sequences distort
-    // local[n] timings by up to 20x via accumulated heap/GC state), repetitions of the two
-    // levels are INTERLEAVED in time, and the min per level is kept — this VM suffers
-    // bursty host CPU-steal, so co-scheduling the levels keeps the comparison fair.
+    // local[n] timings by up to 20x via accumulated heap/GC state); parent repetitions are
+    // INTERLEAVED in time and the min per level kept — this VM suffers bursty host
+    // CPU-steal, so co-scheduling the levels keeps the comparison fair.
     final case class LevelResult(n: Long, matches: Long, plain: Double, salted: Double, auto: Double)
-    val resultRe = """RESULT cores=(\d+) n=(\d+) matches=(\d+) plain=([0-9.]+) salted=([0-9.]+) auto=([0-9.]+).*""".r
+    val resultRe = """RESULT cores=(\d+) n=(\d+) matches=(\d+) plain=([0-9.]+) salted=(-?[0-9.]+) auto=(-?[0-9.]+).*""".r
 
     def stealJiffies(): (Long, Long) = {
       val f = scala.io.Source.fromFile("/proc/stat")
@@ -155,7 +200,7 @@ object Bench {
       } finally f.close()
     }
 
-    def forkLevel(cores: Int, convs: Int, hotShare: Double): LevelResult = {
+    def forkLevel(cores: Int, corpus: String, mode: String, reps: Int): LevelResult = {
       val java = s"${System.getProperty("java.home")}/bin/java"
       val opens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
@@ -166,7 +211,7 @@ object Bench {
       val cmd = Seq(java) ++ opens ++ Seq(
         "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", System.getProperty("java.class.path"),
-        "graft.BenchLevel", cores.toString, convs.toString, hotShare.toString)
+        "graft.BenchLevel", cores.toString, corpus, mode, reps.toString)
       val out = new StringBuilder
       val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
       val src = scala.io.Source.fromInputStream(proc.getInputStream)
@@ -180,27 +225,32 @@ object Bench {
     }
 
     val (steal0, total0) = stealJiffies()
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val parentReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
 
-    // scaling series: UNIFORM corpus (no hot key) at N=2 / 4N=8 / 16N=32 threads. The
-    // N=2 vs 4N=8 pair is the headline (this single-socket VM is memory-bandwidth-bound
+    // scaling series: UNIFORM corpus (no hot key) at N=2 / 4N=8 / 16N=32 threads, PLAIN
+    // mode only (salted/auto on a uniform corpus measured nothing and tripled fork cost).
+    // The N=2 vs 4N=8 pair is the headline (this single-socket VM is memory-bandwidth-bound
     // beyond ~8 threads — raw CPU scales to 32 procs, row processing does not; on a real
     // multi-executor cluster every executor brings its own memory channels).
-    val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "250000").toInt
     val levels = Seq(2, 8, 32)
     val runs = scala.collection.mutable.Map.empty[Int, List[LevelResult]].withDefaultValue(Nil)
-    (1 to reps).foreach { _ =>
-      levels.foreach(c => runs(c) = forkLevel(c, scalingConvs, 0.0) :: runs(c))
+    levels.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", 1) :: runs(c)) // rep 1: always
+    (2 to parentReps).foreach { _ =>
+      if (withinBudget)
+        levels.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", 1) :: runs(c))
     }
-    // skew demos at full parallelism, two regimes:
-    //  - cliff: 80% of turns in ONE conversation — plain serializes on the hot task;
-    //    salting fans it out (the mechanism's reason to exist)
-    //  - mixed: 30% hot at 4x the volume — always-salting pays replication on the cold
-    //    majority; auto-routing salts only the detected hot key and wins
-    val skew = forkLevel(cpus, benchConvs, 0.8)
-    // 150k convs keeps the mixed-regime point while bounding total bench wall-time
-    // (the driver runs this end-to-end; a >30 min bench risks its timeout)
-    val skewMix = forkLevel(cpus, sys.env.getOrElse("SPARK_GRAFT_SKEWMIX_CONVS", "150000").toInt, 0.3)
+    // cliff-skew demo: 80% of turns in ONE conversation — plain serializes on the hot
+    // task; salting fans it out (the mechanism's reason to exist). Modes interleave
+    // within the fork; a second parent rep runs when the budget allows.
+    var cliffRuns = List(forkLevel(cpus, cliffPath, "all", 2)) // rep 1: always
+    if (withinBudget && (full || parentReps > 2))
+      cliffRuns = forkLevel(cpus, cliffPath, "all", 2) :: cliffRuns
+    val skew = LevelResult(cliffRuns.head.n, cliffRuns.head.matches,
+      cliffRuns.map(_.plain).min, cliffRuns.map(_.salted).min, cliffRuns.map(_.auto).min)
+    // mixed-skew demo (FULL profile only): 30% hot at higher volume — always-salting pays
+    // replication on the cold majority; auto-routing salts only the detected hot key.
+    val skewMix: Option[LevelResult] =
+      if (full && withinBudget) Some(forkLevel(cpus, mixPath, "all", 2)) else None
     val (steal1, total1) = stealJiffies()
     val stealPct = 100.0 * (steal1 - steal0) / math.max(1, total1 - total0)
 
@@ -218,24 +268,26 @@ object Bench {
     val total = queryTimes.map(_._2).sum + r32.plain + skew.salted
     val qs = (queryTimes ++ microTimes ++ Seq(
       "cep_uniform_plain_2" -> r2.plain, "cep_uniform_plain_8" -> r8.plain,
-      "cep_uniform_plain_32" -> r32.plain, "cep_uniform_auto_32" -> r32.auto,
+      "cep_uniform_plain_32" -> r32.plain,
       "cep_skew_plain" -> skew.plain, "cep_skew_salted" -> skew.salted,
-      "cep_skew_auto" -> skew.auto,
-      "cep_skewmix_plain" -> skewMix.plain, "cep_skewmix_salted" -> skewMix.salted,
-      "cep_skewmix_auto" -> skewMix.auto))
+      "cep_skew_auto" -> skew.auto) ++ skewMix.toSeq.flatMap(sm => Seq(
+      "cep_skewmix_plain" -> sm.plain, "cep_skewmix_salted" -> sm.salted,
+      "cep_skewmix_auto" -> sm.auto)))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
+    val mixJson = skewMix.map(sm =>
+      s""","skewmix_turns":${sm.n},"skewmix_plain_sec":${sm.plain},""" +
+        s""""skewmix_salted_sec":${sm.salted},"skewmix_auto_sec":${sm.auto}""").getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""profile":"${if (full) "full" else "budget"}","truncated":$truncated,""" +
         s""""cep_turns":$n,"cep_matches":${r8.matches},""" +
         s""""cep_throughput_2":${thr(2).toLong},"cep_throughput_8":${thr(8).toLong},""" +
         s""""cep_throughput_32":${thr(32).toLong},""" +
         f""""scaling_efficiency_n_to_4n":$eff2to8%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f,""" +
         s""""skew_turns":${skew.n},"skew_plain_sec":${skew.plain},"skew_salted_sec":${skew.salted},""" +
-        s""""skew_auto_sec":${skew.auto},"skewmix_turns":${skewMix.n},""" +
-        s""""skewmix_plain_sec":${skewMix.plain},"skewmix_salted_sec":${skewMix.salted},""" +
-        s""""skewmix_auto_sec":${skewMix.auto},""" +
-        f""""host_cpu_steal_pct":$stealPct%.1f}"""
+        s""""skew_auto_sec":${skew.auto}$mixJson,""" +
+        f""""host_cpu_steal_pct":$stealPct%.1f,"wall_sec":$elapsed%.0f}"""
     // bare line on stdout (build.sbt routes forked run output straight through, no sbt
     // [info] prefix) AND a file copy — round 1's metric line was swallowed by the log
     // prefix and the driver recorded "parsed": null

@@ -147,7 +147,10 @@ object Queries {
   // ---- training-data pipeline ops ------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame = Dedup.exact(s, dir)
-  def ngramPairs(s: SparkSession, dir: String): DataFrame = Dedup.ngramJaccardPairs(s, dir)
+  // dfMax opted-in explicitly: the cap bounds recall (pairs overlapping only in
+  // corpus-frequent grams are dropped) and the DuckDB oracle mirrors exactly this value
+  def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(s, dir, dfMax = 50)
   def minhashPairs(s: SparkSession, dir: String): DataFrame = Dedup.minhashLshPairs(s, dir)
   def simhashPairs(s: SparkSession, dir: String): DataFrame = Dedup.simhashPairs(s, dir)
   def tokenCount(s: SparkSession, dir: String): DataFrame = TextOps.tokenCount(s, dir)

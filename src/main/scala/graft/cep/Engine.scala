@@ -35,7 +35,31 @@ final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0,
     * The table depends only on the pattern set, so it is built once per task closure and
     * cached on the patterns' statics (an engine is constructed PER KEY — millions of
     * times per run; rebuilding hash maps there measurably costs). */
-  private val tmpl = MatchEngine.dispatchFor(patterns)
+  private val tables = MatchEngine.tablesFor(patterns)
+
+  /** Subtree sharing — the SubTreeSharingTreePlanMerger analogue
+    * (/root/reference/plan/multi/SubTreeSharingTreePlanMerger.py:5-13): equivalent
+    * subtrees across patterns (same shape, slots, names, placed conditions, window,
+    * confidence) buffer their partial matches ONCE. The lowest-registered pattern hosts
+    * the buffers; followers alias them (sibling probes see the shared PMs directly) and
+    * receive upward propagation through a mirror hook when the host stores a PM. Active
+    * only on the policy-free MATCH_ANY surface with default storage — consumption
+    * policies observe node identity/play order, shedding mutates buffers, and sorted
+    * storage would key the shared buffer by the host's probe plan. */
+  private val sharingActive =
+    !sortedStorage && shedCap == 0 && !tables.sharing.isEmpty
+  private val tmpl = if (sharingActive) tables.sharedDispatch else tables.dispatch
+  if (sharingActive) {
+    val sh = tables.sharing
+    var ri = 0
+    while (ri < rts.length) {
+      sh.aliases(ri).foreach { case (ownId, hostRt, hostId) =>
+        rts(ri).aliasBuf(ownId, rts(hostRt).bufAt(hostId))
+      }
+      if (sh.mirrorArr(ri) != null) rts(ri).setMirrors(sh.mirrorArr(ri), rts)
+      ri += 1
+    }
+  }
   private val verdict = new Array[Boolean](tmpl.nGroups)
   private val verdictEpoch = new Array[Long](tmpl.nGroups)
   private var epoch = 0L
@@ -95,36 +119,149 @@ object MatchEngine {
   final class DEntry(val rtIdx: Int, val leaf: LeafSpec, val pred: Ev => Boolean, val group: Int)
   final class Dispatch(val byType: Map[String, Array[DEntry]], val nGroups: Int)
 
-  private val emptyDispatch = new Dispatch(Map.empty, 0)
+  /** Subtree-sharing wiring (built once per pattern set, applied per engine):
+    *  - `aliases(rt)`  : follower node id -> (host rt, host node id) whose buffer it aliases
+    *  - `mirrorArr(rt)`: per-node followers to notify when the HOST stores a PM there
+    *                     (null array entry = no followers; null outer = rt hosts nothing)
+    *  - `deadLeaves(rt)`: leaf ids inside follower regions — removed from dispatch
+    *                     (the host's equivalent leaf plays for everyone). */
+  final class Sharing(
+      val aliases: IndexedSeq[List[(Int, Int, Int)]],
+      val mirrorArr: IndexedSeq[Array[List[(Int, Int)]]],
+      val deadLeaves: IndexedSeq[Set[Int]]) {
+    val isEmpty: Boolean = aliases.forall(_.isEmpty)
+  }
 
-  private def buildDispatch(patterns: IndexedSeq[CompiledPattern]): Dispatch = {
+  final class Tables(val dispatch: Dispatch, val sharing: Sharing, val sharedDispatch: Dispatch)
+
+  private val emptySharing = new Sharing(Vector.empty, Vector.empty, Vector.empty)
+  private val emptyTables =
+    new Tables(new Dispatch(Map.empty, 0), emptySharing, new Dispatch(Map.empty, 0))
+
+  private def buildDispatch(patterns: IndexedSeq[CompiledPattern],
+                            dead: IndexedSeq[Set[Int]]): Dispatch = {
     val groupOf = mutable.HashMap.empty[(String, List[Cond]), Int]
     val byType = mutable.LinkedHashMap.empty[String, ArrayBuffer[DEntry]]
     patterns.zipWithIndex.foreach { case (cp, ri) =>
       cp.leavesByType.foreach { case (et, leaves) =>
         leaves.foreach { leaf =>
-          val key = (et, cp.nodeConds.getOrElse(leaf.id, Nil))
-          val g = groupOf.getOrElseUpdate(key, groupOf.size)
-          byType.getOrElseUpdate(et, ArrayBuffer.empty) +=
-            new DEntry(ri, leaf, cp.statics.leafPred(leaf.id), g)
+          if (dead.isEmpty || !dead(ri).contains(leaf.id)) {
+            val key = (et, cp.nodeConds.getOrElse(leaf.id, Nil))
+            val g = groupOf.getOrElseUpdate(key, groupOf.size)
+            byType.getOrElseUpdate(et, ArrayBuffer.empty) +=
+              new DEntry(ri, leaf, cp.statics.leafPred(leaf.id), g)
+          }
         }
       }
     }
     new Dispatch(byType.view.mapValues(_.toArray).toMap, groupOf.size)
   }
 
-  /** Dispatch table cached on the first pattern's statics, keyed by the pattern-set
-    * instance: every per-key engine built from the same task closure reuses it. The cache
-    * lives exactly as long as the closure's patterns, so no leak. */
-  private[cep] def dispatchFor(patterns: IndexedSeq[CompiledPattern]): Dispatch = {
-    if (patterns.isEmpty) return emptyDispatch
+  private def subSpecs(s: Spec): List[Spec] = s match {
+    case l: LeafSpec => List(l)
+    case b: BinSpec  => b :: subSpecs(b.left) ::: subSpecs(b.right)
+    case k: KCSpec   => k :: subSpecs(k.child)
+    case n: NegSpec  => n :: subSpecs(n.pos) ::: subSpecs(n.neg)
+  }
+
+  private def hasNeg(s: Spec): Boolean = s match {
+    case _: NegSpec  => true
+    case b: BinSpec  => hasNeg(b.left) || hasNeg(b.right)
+    case k: KCSpec   => hasNeg(k.child)
+    case _: LeafSpec => false
+  }
+
+  /** Structural shape INCLUDING slots and names: equal shapes mean the shared PM objects'
+    * Bind vectors are directly interpretable by every participant (slots drive SEQ order
+    * checks and condition evaluators; names surface in flattened output columns). */
+  private def shape(s: Spec): String = s match {
+    case l: LeafSpec => s"L(${l.slot},${l.name},${l.etype})"
+    case b: BinSpec  => s"B(${b.isSeq},${shape(b.left)},${shape(b.right)})"
+    case k: KCSpec   => s"K(${k.minSize},${k.maxSize},${shape(k.child)})"
+    case n: NegSpec  => s"N(${n.isSeq},${n.unbounded},${shape(n.pos)},${shape(n.neg)})"
+  }
+
+  /** Find equivalent subtrees across patterns, largest first, and assign host/followers.
+    * Equivalence = shape (with slots+names) + the condition lists placed on every node of
+    * the subtree in DFS order (Cond equality is case-class equality — lambda fields
+    * compare by reference, so sharing triggers for conditions built from the same objects;
+    * structurally-equal-but-distinct lambdas conservatively do not share) + window +
+    * confidence. Only policy-free patterns participate; NegSpec subtrees and pattern
+    * roots are excluded (negation parks pending matches per pattern; roots emit, never
+    * buffer). */
+  private def buildSharing(patterns: IndexedSeq[CompiledPattern]): Sharing = {
+    val nPat = patterns.length
+    if (nPat < 2) return emptySharing
+    val eligible = patterns.map(cp => cp.singleAt.isEmpty && cp.freezeMap.isEmpty)
+    final case class Member(rt: Int, node: Spec, size: Int)
+    val groups = mutable.LinkedHashMap.empty[Any, ArrayBuffer[Member]]
+    for (ri <- patterns.indices if eligible(ri)) {
+      val cp = patterns(ri)
+      cp.nodes.foreach { node =>
+        if (cp.parentOf(node.id) >= 0 && !hasNeg(node)) {
+          val dfs = subSpecs(node)
+          val key = (shape(node),
+            dfs.map(n => cp.nodeConds.getOrElse(n.id, Nil)),
+            dfs.map(n => cp.kcNodeConds.getOrElse(n.id, Nil)),
+            cp.windowMicros, cp.confidence)
+          groups.getOrElseUpdate(key, ArrayBuffer.empty) += Member(ri, node, dfs.length)
+        }
+      }
+    }
+    val dead = Array.fill(nPat)(mutable.Set.empty[Int])       // follower regions (inclusive)
+    val hostLocked = Array.fill(nPat)(mutable.Set.empty[Int]) // host regions (must stay live)
+    val aliases = Array.fill(nPat)(List.empty[(Int, Int, Int)])
+    val mirrors = Array.fill(nPat)(mutable.Map.empty[Int, List[(Int, Int)]])
+    // Largest subtrees first (maximal sharing); deterministic tie-break by host position.
+    val ordered = groups.valuesIterator.filter(_.length >= 2).toSeq
+      .sortBy(ms => (-ms.head.size, ms.head.rt, ms.head.node.id))
+    ordered.foreach { ms =>
+      val live = ms.filter(m => !dead(m.rt).contains(m.node.id))
+      if (live.length >= 2) {
+        val host = live.minBy(m => (m.rt, m.node.id))
+        live.foreach { f =>
+          if (f != host && !hostLocked(f.rt).contains(f.node.id)) {
+            aliases(f.rt) = (f.node.id, host.rt, host.node.id) :: aliases(f.rt)
+            dead(f.rt) ++= subSpecs(f.node).map(_.id)
+            mirrors(host.rt).updateWith(host.node.id) {
+              case Some(l) => Some(l :+ ((f.rt, f.node.id)))
+              case None    => Some(List((f.rt, f.node.id)))
+            }
+          }
+        }
+        if (mirrors(host.rt).contains(host.node.id))
+          hostLocked(host.rt) ++= subSpecs(host.node).map(_.id)
+      }
+    }
+    if (aliases.forall(_.isEmpty)) return emptySharing
+    val mirrorArr: IndexedSeq[Array[List[(Int, Int)]]] = patterns.indices.map { ri =>
+      if (mirrors(ri).isEmpty) null
+      else {
+        val arr = new Array[List[(Int, Int)]](patterns(ri).nodes.length)
+        mirrors(ri).foreach { case (nid, fs) => arr(nid) = fs }
+        arr
+      }
+    }
+    new Sharing(aliases.toIndexedSeq, mirrorArr,
+      dead.map(_.toSet).toIndexedSeq)
+  }
+
+  /** Dispatch + sharing tables cached on the first pattern's statics, keyed by the
+    * pattern-set instance: every per-key engine built from the same task closure reuses
+    * them. The cache lives exactly as long as the closure's patterns, so no leak. */
+  private[cep] def tablesFor(patterns: IndexedSeq[CompiledPattern]): Tables = {
+    if (patterns.isEmpty) return emptyTables
     val host = patterns.head.statics
     host.dispatchCache match {
-      case (k: AnyRef, d: Dispatch) if k eq patterns => d
+      case (k: AnyRef, t: Tables) if k eq patterns => t
       case _ =>
-        val d = buildDispatch(patterns)
-        host.dispatchCache = (patterns, d)
-        d
+        val sharing = buildSharing(patterns)
+        val dispatch = buildDispatch(patterns, Vector.empty)
+        val sharedDispatch =
+          if (sharing.isEmpty) dispatch else buildDispatch(patterns, sharing.deadLeaves)
+        val t = new Tables(dispatch, sharing, sharedDispatch)
+        host.dispatchCache = (patterns, t)
+        t
     }
   }
 }
@@ -331,6 +468,33 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
 
   private val n = nodes.length
   private val bufs: Array[ArrayBuffer[PM]] = Array.fill(n)(ArrayBuffer.empty[PM])
+
+  // ---- subtree sharing (wired by MatchEngine; see MatchEngine.Sharing) -----------------
+  /** Node ids whose buffer is an alias of another runtime's buffer: probed/expired here,
+    * but owned (inserted + serialized) by the host runtime. */
+  private var aliased: Array[Boolean] = null
+  /** Per-node follower lists on the HOST side: (runtime, follower node id) to notify when
+    * a PM is stored at the node. */
+  private var mirrors: Array[List[(Int, Int)]] = null
+  private var mirrorRts: IndexedSeq[PatternRuntime] = null
+  private[cep] def bufAt(id: Int): ArrayBuffer[PM] = bufs(id)
+  private[cep] def aliasBuf(id: Int, b: ArrayBuffer[PM]): Unit = {
+    if (aliased == null) aliased = new Array[Boolean](n)
+    bufs(id) = b
+    aliased(id) = true
+  }
+  private[cep] def setMirrors(m: Array[List[(Int, Int)]], rts: IndexedSeq[PatternRuntime]): Unit = {
+    mirrors = m; mirrorRts = rts
+  }
+  /** Host stored a PM in a buffer this runtime aliases at `id`: continue propagation
+    * upward HERE (the PM's binds are directly interpretable — sharing requires identical
+    * slots/names). `hostCurIdx` carries the feeding event's serial so Kleene aggregate
+    * identities stay exact even when all of this runtime's leaves for the type are dead. */
+  private[cep] def onShared(id: Int, pm: PM, hostCurIdx: Long): Unit = {
+    curIdx = hostCurIdx
+    val par = parentOf(id)
+    if (par >= 0) handleNew(par, id, pm)
+  }
   // compiled once per CompiledPattern instance (lazy), NOT per key group — a run over
   // millions of keys constructs one PatternRuntime per key
   private val statics = cp.statics
@@ -435,6 +599,10 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
       if (key == null) bufs(id) += pm else insertSorted(bufs(id), pm, key)
       if (shedCap > 0 && bufs(id).length > shedCap) shed(id)
       handleNew(par, id, pm)
+      if (mirrors != null) {
+        val fs = mirrors(id)
+        if (fs != null) fs.foreach { case (rt, fid) => mirrorRts(rt).onShared(fid, pm, curIdx) }
+      }
     }
   }
 
@@ -728,7 +896,11 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
   // ---- state snapshot ----------------------------------------------------------------
 
   def snapshot(): RuntimeState = RuntimeState(
-    bufs = bufs.map(_.toVector).toVector,
+    // aliased buffers are serialized by their HOST runtime; writing them here would both
+    // duplicate state and clobber the host's restore (the alias shares the instance)
+    bufs = bufs.zipWithIndex.map { case (b, i) =>
+      if (aliased != null && aliased(i)) Vector.empty else b.toVector
+    }.toVector,
     pending = pending.toVector,
     filtered = filtered.iterator.map { case (id, m) =>
       id -> m.iterator.map { case (idx, ts) => FilteredEv(idx, ts) }.toVector
@@ -737,7 +909,10 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
 
   def restore(s: RuntimeState): Unit = {
     var i = 0
-    s.bufs.foreach { b => bufs(i).clear(); bufs(i) ++= b; i += 1 }
+    s.bufs.foreach { b =>
+      if (aliased == null || !aliased(i)) { bufs(i).clear(); bufs(i) ++= b }
+      i += 1
+    }
     pending.clear(); pending ++= s.pending
     filtered.clear()
     s.filtered.foreach { case (id, evs) =>

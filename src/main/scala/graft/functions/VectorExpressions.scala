@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftfn.{DotProduct, WrappingAffine}
+import org.apache.spark.sql.graftfn.{DotProduct, Fnv1a64, SimhashAgg, WrappingAffine}
 
 /** Public registration/API surface for the custom vector expressions
   * (see org.apache.spark.sql.graftfn.DotProduct). */
@@ -20,6 +20,14 @@ object VectorFunctions {
       FunctionIdentifier("wrap_affine"),
       new ExpressionInfo(classOf[WrappingAffine].getName, "wrap_affine"),
       (children: Seq[Expression]) => WrappingAffine(children.head, children(1), children(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("fnv1a64"),
+      new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
+      (children: Seq[Expression]) => Fnv1a64(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimhashAgg].getName, "simhash_agg"),
+      (children: Seq[Expression]) => SimhashAgg(children.head).toAggregateExpression())
   }
 
   /** Column-API sugar: registers on first use, then resolves through the registry. */

@@ -45,19 +45,24 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs: shingle-join candidates, exact Jaccard >= minSim.
     * Output carries integer intersection/union (hash-stable across engines).
     *
-    * Scale guard: the candidate self-join is quadratic PER GRAM — one corpus-frequent
-    * shingle ("the quick brown" over 100 TB) explodes its join key. Grams with document
-    * frequency > `dfMax` are excluded from candidate generation (standard near-dup
-    * practice: a gram shared by thousands of docs carries no pair information that rarer
-    * grams don't); sizes and the Jaccard denominator still use ALL grams, and the DuckDB
-    * oracle applies the identical cap. */
+    * Scale guard (OPT-IN): the candidate self-join is quadratic PER GRAM — one
+    * corpus-frequent shingle ("the quick brown" over 100 TB) explodes its join key.
+    * Passing `dfMax` excludes grams with document frequency > dfMax from CANDIDATE
+    * GENERATION (standard near-dup practice: a gram shared by thousands of docs carries
+    * no pair information that rarer grams don't); sizes and the Jaccard denominator still
+    * use ALL grams. The cap bounds recall — pairs whose entire overlap sits in
+    * corpus-frequent grams are not produced — so it defaults OFF; callers opting in at
+    * corpus scale must mirror the cap in any downstream comparison (the driver query
+    * passes dfMax=50 and its DuckDB oracle applies the identical cap). */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String, minSim: Double = 0.4,
-                        dfMax: Long = 50): DataFrame = {
+                        dfMax: Long = Long.MaxValue): DataFrame = {
     val sh = shingles(spark, sfDir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val rare = sh.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfMax).select("gram")
-    val shCapped = sh.join(rare, "gram") // left-semi shape: rare is (gram) only
+    val shCapped =
+      if (dfMax == Long.MaxValue) sh
+      else sh.join( // left-semi shape: the rare-gram side is (gram) only
+        sh.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") <= dfMax).select("gram"),
+        "gram")
     val common = shCapped.as("x").join(shCapped.as("y"),
         col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -70,17 +75,17 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"))
   }
 
-  /** Deterministic 64-bit polynomial hash of a string (FNV-1a), as a Catalyst expression
-    * would compute it; used for MinHash/SimHash signatures. Kept in Scala (not Spark's
-    * `hash()`) so signatures are stable across Spark versions. */
-  private[ops] def fnv1a(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  /** Deterministic 64-bit polynomial hash of a string (FNV-1a); used for MinHash/SimHash
+    * signatures. Kept custom (not Spark's `hash()`) so signatures are stable across Spark
+    * versions; computed by the native codegen'd expression
+    * org.apache.spark.sql.graftfn.Fnv1a64 — a per-row UDF here forced a codegen break plus
+    * a row conversion in the hottest stage of every signature pipeline. */
+  private[ops] def fnv1a(s: String): Long = org.apache.spark.sql.graftfn.Fnv1a64.hash(s)
 
-  private val fnv1aUdf = udf { g: String => fnv1a(g) }
+  private def fnv1aCol(spark: SparkSession, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.functions.VectorFunctions.register(spark)
+    call_function("fnv1a64", c)
+  }
 
   /** MinHash signature WITHOUT materializing per-doc gram lists: one scalar FNV-1a per
     * gram row, then 32 native `min` aggregates over affine lane values computed in
@@ -96,7 +101,7 @@ object Dedup {
     // intended overflow); native expression, stays inside whole-stage codegen
     val lanes = AS.indices.map(k =>
       min(call_function("wrap_affine", lit(AS(k)), col("h"), lit(BS(k)))).as(s"m$k"))
-    sh.withColumn("h", fnv1aUdf(col("gram")))
+    sh.withColumn("h", fnv1aCol(sh.sparkSession, col("gram")))
       .groupBy("doc_id")
       .agg(lanes.head, lanes.tail: _*)
       .select(col("doc_id"), array(AS.indices.map(k => col(s"m$k")): _*).as("sig"))
@@ -130,19 +135,17 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
-  /** SimHash signature via native aggregation (same scale rationale as [[minhashSigs]]):
-    * per-bit set-counts as 64 map-side-combined sums, majority vote folded into the
-    * 64-bit signature in Catalyst. acc(b) > 0 (set minus unset) == 2 * ones > total. */
+  /** SimHash signature via the single-pass native aggregate
+    * (org.apache.spark.sql.graftfn.SimhashAgg): 64 bit-set counters + row count in ONE
+    * 65-long buffer per doc, majority vote at eval. Same constant-per-doc state bound as
+    * the 64-column `sum()` formulation (a corpus-scale doc cannot blow the buffer), but
+    * the per-row update is a tight JVM loop instead of 64 expression trees — the
+    * 64-column version cost 3.4x local wall-clock. */
   private def simhashSigs(sh: DataFrame): DataFrame = {
-    val bitSums = (0 until 64).map(b =>
-      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b"))
-    val sigCol = (0 until 64).map(b =>
-      when(lit(2) * col(s"b$b") > col("n"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    sh.withColumn("h", fnv1aUdf(col("gram")))
+    graft.functions.VectorFunctions.register(sh.sparkSession)
+    sh.withColumn("h", fnv1aCol(sh.sparkSession, col("gram")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-      .select(col("doc_id"), sigCol.as("sig"))
+      .agg(call_function("simhash_agg", col("h")).as("sig"))
   }
 
   /** SimHash near-dup pairs: 64-bit signature per doc, pairs within `maxHamming`.

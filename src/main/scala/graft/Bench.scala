@@ -141,6 +141,20 @@ object Bench {
     }
     val relP = Pattern(SEQ(P("A", "a"), P("B", "b")), CRel.num("a", "b", RelOp.LT), 3000L * 1000000L)
     val relC = Compiler.compile(relP)
+    // (b2) bushy vs best-left-deep: SEQ(A,B,C,D) with TWO selective cross pairs
+    //      (a=b on num, c=d on num) — any left-deep order must push one pair's huge
+    //      unfiltered intermediate; DP-bushy joins (a⋈b)⋈(c⋈d) and keeps both sides small.
+    val rndB = new scala.util.Random(8)
+    val bushyEvents = Array.tabulate(24000) { i =>
+      Ev("k", i, Seq("A", "B", "C", "D")(i % 4), i.toLong * 1000000L,
+        rndB.nextInt(300).toDouble, null, null)
+    }
+    val bushyP = Pattern(SEQ(P("A", "a"), P("B", "b"), P("C", "c"), P("D", "d")),
+      Cond.all(CRel.num("a", "b", RelOp.EQ), CRel.num("c", "d", RelOp.EQ)), 300L * 1000000L)
+    val pwB = Map("A" -> 75.0, "B" -> 75.0, "C" -> 75.0, "D" -> 75.0)
+    val selB = Map(("a", "b") -> 1 / 300.0, ("c", "d") -> 1 / 300.0)
+    val greedy4C = Compiler.compile(bushyP, Orders.Greedy(pwB, selB))
+    val bushy4C = Compiler.compile(bushyP, Orders.DpBushy(pwB, selB))
     // (c) multi-pattern leaf sharing: 8 patterns over disjoint type pairs, evaluated
     //     jointly in ONE pass (shared dispatch + shared per-key feed) vs 8 separate
     //     engine passes over the full stream — the multi-pattern sharing win.
@@ -165,24 +179,30 @@ object Bench {
     engRun(trivialC, reorderEvents, sorted = false) // JIT warmup
     engRun(relC, sortedEvents, sorted = true)
     engRun(multiJoint, multiEvents, sorted = false)
+    engRun(bushy4C, bushyEvents, sorted = false)
     val micro = (1 to 3).map { _ =>
       (engRun(trivialC, reorderEvents, sorted = false),
         engRun(greedyC, reorderEvents, sorted = false),
         engRun(relC, sortedEvents, sorted = false),
         engRun(relC, sortedEvents, sorted = true),
         engRun(multiJoint, multiEvents, sorted = false),
-        runSeparate())
+        runSeparate(),
+        engRun(greedy4C, bushyEvents, sorted = false),
+        engRun(bushy4C, bushyEvents, sorted = false))
     }
     require(micro.head._1._1 == micro.head._2._1, "reordered plan changed the match count")
     require(micro.head._3._1 == micro.head._4._1, "sorted probes changed the match count")
     require(micro.head._5._1 == micro.head._6._1, "joint multi-pattern changed the match count")
+    require(micro.head._7._1 == micro.head._8._1, "bushy plan changed the match count")
     val microTimes = Seq(
       "cep_order_trivial" -> micro.map(_._1._2).min,
       "cep_order_greedy" -> micro.map(_._2._2).min,
       "cep_probe_scan" -> micro.map(_._3._2).min,
       "cep_probe_sorted" -> micro.map(_._4._2).min,
       "cep_multi8_joint" -> micro.map(_._5._2).min,
-      "cep_multi8_separate" -> micro.map(_._6._2).min)
+      "cep_multi8_separate" -> micro.map(_._6._2).min,
+      "cep_order4_greedy" -> micro.map(_._7._2).min,
+      "cep_order4_bushy" -> micro.map(_._8._2).min)
 
     // --- part 2+: forked CEP measurements -------------------------------------------------
     // Each measurement runs in a FRESH forked JVM (same-JVM session sequences distort

@@ -42,6 +42,20 @@ object Queries {
   val kleenePattern: Pattern = Pattern(
     SEQ(KC(P("click", "k"), min = 2, max = 3), P("purchase", "b")), CTrue, 2 * H)
 
+  /** SEQ(OR(view, click) x, purchase b) within 6h — OR via pattern split
+    * (/root/reference/transformation/PatternTransformer.py:64-115): one compiled pattern
+    * per alternative, same id, outputs unioned. */
+  val orPattern: Pattern = Pattern(
+    SEQ(OR(P("view", "x"), P("click", "x")), P("purchase", "b")), CTrue, 6 * H)
+
+  /** SEQ(view v, purchase b) with a CONTIGUOUS(v, b) consumption policy: b must be the
+    * very next event after v in per-key arrival order (compiled to idx(b) == idx(v)+1,
+    * /root/reference/misc/ConsumptionPolicy.py:28-44). On the events table idx is the raw
+    * event_id, so contiguity means consecutive GLOBAL event ids within one user. */
+  val contigPattern: Pattern = Pattern(
+    SEQ(P("view", "v"), P("purchase", "b")), CTrue, 6 * H,
+    policy = Policy(contiguous = List(List("v", "b"))))
+
   private def cepFlat(s: SparkSession, dir: String, p: Pattern, sorted: Boolean,
                       cols: (String, String)*): DataFrame = {
     val ms = BatchEvaluator.evaluate(EventsTable.load(s, dir), Seq(p), sortedStorage = sorted)
@@ -66,6 +80,12 @@ object Queries {
 
   def cepAnd2(s: SparkSession, dir: String): DataFrame =
     cepFlat(s, dir, and2Pattern, sorted = false, "e_idx" -> "e_id", "b_idx" -> "b_id")
+
+  def cepOr(s: SparkSession, dir: String): DataFrame =
+    cepFlat(s, dir, orPattern, sorted = false, "x_idx" -> "x_id", "b_idx" -> "b_id")
+
+  def cepContig(s: SparkSession, dir: String): DataFrame =
+    cepFlat(s, dir, contigPattern, sorted = false, "v_idx" -> "v_id", "b_idx" -> "b_id")
 
   def cepKleene(s: SparkSession, dir: String): DataFrame = {
     val ms = BatchEvaluator.evaluate(EventsTable.load(s, dir), Seq(kleenePattern))

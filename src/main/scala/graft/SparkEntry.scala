@@ -21,6 +21,8 @@ object SparkEntry {
     "cep_kleene" -> (Queries.cepKleene _),
     "cep_salted_seq3" -> (Queries.cepSaltedSeq3 _),
     "cep_auto_seq3" -> (Queries.cepAutoSeq3 _),
+    "cep_or" -> (Queries.cepOr _),
+    "cep_contig" -> (Queries.cepContig _),
     // relational / window smoke (§2.2, §2.5)
     "q1_agg" -> (Queries.q1Agg _),
     "q_join_nation" -> (Queries.qJoinNation _),
@@ -158,6 +160,21 @@ object SparkEntry {
         |SELECT a_id, b_id FROM common
         |JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
         |WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.4""".stripMargin,
+    "cep_or" ->
+      // SEQ(OR(view,click) x, purchase b) WITHIN 6h: the union of the two alternatives —
+      // an event is one type only, so the union is duplicate-free
+      """SELECT a.user_id AS user_id, a.event_id AS x_id, b.event_id AS b_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type IN ('view', 'click') AND b.event_type = 'purchase'
+        |  AND a.ts <= b.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000""".stripMargin,
+    "cep_contig" ->
+      // CONTIGUOUS(v, b): b is the next event after v in per-key arrival order; idx on
+      // this table is the raw global event_id (see graft.io.EventsTable scaladoc)
+      """SELECT v.user_id AS user_id, v.event_id AS v_id, b.event_id AS b_id
+        |FROM events v JOIN events b ON v.user_id = b.user_id
+        |WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.event_id = v.event_id + 1
+        |  AND v.ts <= b.ts AND epoch_us(b.ts) - epoch_us(v.ts) <= 21600000000""".stripMargin,
     "cep_seq2" ->
       """SELECT a.user_id AS user_id, a.event_id AS v_id, b.event_id AS b_id
         |FROM events a JOIN events b ON a.user_id = b.user_id

@@ -88,7 +88,7 @@ object StreamBench {
 
     final case class RepResult(wall: Double, matches: Long, batches: Int,
                                p50: Double, p95: Double, stateRows: Long)
-    def runOnce(rep: Int): RepResult = {
+    def runOnce(rep: Int, orderedRun: Boolean = ordered): RepResult = {
       val listener = new CepQueryListener
       spark.streams.addListener(listener)
       val ckptRep = s"$ckpt-$rep"
@@ -96,7 +96,7 @@ object StreamBench {
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(s"$srcDir/b*").as[Ev]
       val t0 = System.nanoTime()
-      val q = StreamEvaluator.evaluate(src, patterns, delay = "1 minute", assumeOrdered = ordered)
+      val q = StreamEvaluator.evaluate(src, patterns, delay = "1 minute", assumeOrdered = orderedRun)
         .filter(col("key") =!= "zz-sentinel")
         .observe("cep", count(lit(1)).as("n_matches")) // count via metrics, not a driver sink
         .writeStream.format("noop")
@@ -129,15 +129,25 @@ object StreamBench {
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "3").toInt
     val (st0, tt0) = stealJiffies()
-    val results = (1 to reps).map(runOnce)
+    val results = (1 to reps).map(runOnce(_))
+    // when the headline mode is the lighter ordered replay, also measure the DEFAULT
+    // watermark-complete reorder mode so the two are never conflated (the ordered number
+    // is the reference's arrival model; the watermark number is the production default)
+    val wmResult = if (ordered) Some(runOnce(reps + 1, orderedRun = false)) else None
     val (st1, tt1) = stealJiffies()
     val best = results.minBy(_.wall)
     // sanity: the streaming result must equal the batch result on the same input
     val batchMatches = graft.cep.spark.BatchEvaluator.evaluate(evs, patterns).count()
     require(results.forall(_.matches == best.matches), s"rep match counts differ: $results")
+    wmResult.foreach(r => require(r.matches == best.matches,
+      s"watermark-mode matches ${r.matches} != ordered-mode ${best.matches}"))
     val stealPct = 100.0 * (st1 - st0) / math.max(1, tt1 - tt0)
+    val wmJson = wmResult.map(r =>
+      f""","wm_throughput":${(n / r.wall).toLong},"wm_wall_sec":${r.wall}%.2f""").getOrElse("")
     println(
       f"""{"metric":"stream_throughput","value":${(n / best.wall).toLong},"unit":"turns/sec","turns":$n,"matches":${best.matches},""" +
+        f""""mode":"${if (ordered) "ordered" else "watermark"}","text_pruned":true,""" +
+        f""""raw_local_fs":true,"state_format_validation":false$wmJson,""" +
         f""""batch_matches":$batchMatches,"wall_sec":${best.wall}%.2f,"batches":${best.batches},""" +
         f""""batch_p50_sec":${best.p50}%.3f,"batch_p95_sec":${best.p95}%.3f,""" +
         f""""state_rows":${best.stateRows},"reps":$reps,"host_cpu_steal_pct":$stealPct%.1f,"cores":$cores}""")

@@ -195,10 +195,15 @@ object Compiler {
             negSpecs += ((build(inner), negArgs.find(_.argIdx == i).get.unbounded))
           case (a, _) => posSpecs += build(a); posArgs += a
         }
-        // join order from the strategy: slots stay in pattern positions (assigned above),
-        // only the combination order of the left-deep tree changes — output-invariant
-        val order = Orders.resolve(strategy, posArgs.toList)
-        var root: Spec = leftDeep(order.map(posSpecs).toList, isSeqTop)
+        // join tree from the strategy: slots stay in pattern positions (assigned above),
+        // only the combination SHAPE changes (left-deep spine for permutation strategies,
+        // any binary shape for DpBushy) — output-invariant (SEQ order checks and window
+        // bounds are defined over merged slots, not tree shape; asserted by OrdersSpec)
+        def buildJ(t: Orders.JTree): Spec = t match {
+          case Orders.JLeaf(i)    => posSpecs(i)
+          case Orders.JNode(l, r) => register(BinSpec(newId(), isSeqTop, buildJ(l), buildJ(r)))
+        }
+        var root: Spec = buildJ(Orders.resolveTree(strategy, posArgs.toList))
         var firstUnb = -1
         // bounded first, then unbounded (naive negation algorithm)
         (negSpecs.filter(!_._2) ++ negSpecs.filter(_._2)).foreach { case (neg, unb) =>

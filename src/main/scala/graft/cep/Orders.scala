@@ -29,6 +29,28 @@ object Orders {
     * multiplier against the already-chosen prefix. */
   final case class Greedy(perWindowByType: Map[String, Double],
                           selByNames: Map[(String, String), Double] = Map.empty) extends Strategy
+  /** Exact dynamic-programming LEFT-DEEP order (reference
+    * DynamicProgrammingLeftDeepTreeBuilder, /root/reference/plan/LeftDeepTreeBuilders.py:163-224):
+    * subset DP minimizing the intermediate-count cost model — optimal among left-deep
+    * trees, unlike Greedy. */
+  final case class DpLeftDeep(perWindowByType: Map[String, Double],
+                              selByNames: Map[(String, String), Double] = Map.empty) extends Strategy
+  /** Exact dynamic-programming BUSHY tree (reference DynamicProgrammingBushyTreeBuilder,
+    * /root/reference/plan/BushyTreeBuilders.py:16-123): subset DP over all binary join
+    * trees. For patterns with several selective CROSS-pairs (e.g. sel(A,B) and sel(C,D)
+    * both tight), no left-deep order can bracket both — a bushy (A⋈B)⋈(C⋈D) shape keeps
+    * every intermediate small. */
+  final case class DpBushy(perWindowByType: Map[String, Double],
+                           selByNames: Map[(String, String), Double] = Map.empty) extends Strategy
+
+  /** Join tree over positive-arg indices — the combination shape the compiler builds.
+    * Left-deep strategies resolve to a left-spine; DpBushy may produce any binary shape.
+    * Slots/output are invariant to the shape (asserted by OrdersSpec). */
+  sealed trait JTree extends Serializable { def indices: List[Int] }
+  final case class JLeaf(i: Int) extends JTree { def indices: List[Int] = List(i) }
+  final case class JNode(l: JTree, r: JTree) extends JTree {
+    def indices: List[Int] = l.indices ::: r.indices
+  }
 
   /** Expected per-window count of one positive arg: max over its leaf types (conservative
     * for composite args — a nested SEQ/AND/KC produces at most one match per driving
@@ -56,7 +78,8 @@ object Orders {
     s
   }
 
-  /** Resolve a strategy to a permutation of positive-arg indices. */
+  /** Resolve a strategy to a permutation of positive-arg indices (left-deep strategies
+    * only; DpBushy has no permutation — use [[resolveTree]]). */
   def resolve(strategy: Strategy, posArgs: List[PStruct]): IndexedSeq[Int] = strategy match {
     case Trivial => posArgs.indices.toIndexedSeq
     case Fixed(o) =>
@@ -65,7 +88,6 @@ object Orders {
     case AscendingRate(pw) =>
       posArgs.indices.sortBy(i => argCount(posArgs(i), pw)).toIndexedSeq
     case Greedy(pw, sel) =>
-      val n = posArgs.length
       val counts = posArgs.map(argCount(_, pw)).toIndexedSeq
       val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
       val remaining = scala.collection.mutable.Set(posArgs.indices: _*)
@@ -79,6 +101,127 @@ object Orders {
         remaining -= next
       }
       chosen.toIndexedSeq
+    case DpLeftDeep(pw, sel) =>
+      dpLeftDeepOrder(posArgs, pw, sel)
+    case DpBushy(_, _) =>
+      throw new IllegalArgumentException("DpBushy produces a tree, not an order — use resolveTree")
+  }
+
+  /** Resolve a strategy to a join TREE. Permutation strategies become the left spine over
+    * their order; DP strategies run the subset DP. */
+  def resolveTree(strategy: Strategy, posArgs: List[PStruct]): JTree = strategy match {
+    case DpBushy(pw, sel) => dpBushy(posArgs, pw, sel)
+    case s =>
+      val order = resolve(s, posArgs)
+      order.tail.foldLeft(JLeaf(order.head): JTree)((t, i) => JNode(t, JLeaf(i)))
+  }
+
+  /** Expected partial-match count of a node covering arg set `mask`:
+    * product of per-arg counts x product of pairwise cross-selectivities — the reference's
+    * intermediate-count cost model (/root/reference/plan/TreeCostModel.py:23-97). */
+  private def pmCount(mask: Int, counts: IndexedSeq[Double],
+                      selGrid: Array[Array[Double]]): Double = {
+    var p = 1.0
+    var i = 0
+    while (i < counts.length) {
+      if ((mask & (1 << i)) != 0) {
+        p *= counts(i)
+        var j = i + 1
+        while (j < counts.length) {
+          if ((mask & (1 << j)) != 0) p *= selGrid(i)(j)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    p
+  }
+
+  private def grids(posArgs: List[PStruct], pw: Map[String, Double],
+                    sel: Map[(String, String), Double]): (IndexedSeq[Double], Array[Array[Double]]) = {
+    val counts = posArgs.map(argCount(_, pw)).toIndexedSeq
+    val n = posArgs.length
+    val g = Array.tabulate(n, n)((i, j) => argSel(posArgs(i), posArgs(j), sel))
+    (counts, g)
+  }
+
+  /** Optimal left-deep order by subset DP (reference
+    * /root/reference/plan/LeftDeepTreeBuilders.py:163-224): best(S) = min over last args
+    * i of best(S-i) + pm(S). O(2^n * n); n is the pattern arity (small). */
+  private def dpLeftDeepOrder(posArgs: List[PStruct], pw: Map[String, Double],
+                              sel: Map[(String, String), Double]): IndexedSeq[Int] = {
+    val n = posArgs.length
+    require(n <= 20, s"DP ordering supports up to 20 args, got $n")
+    if (n == 1) return IndexedSeq(0)
+    val (counts, g) = grids(posArgs, pw, sel)
+    val full = (1 << n) - 1
+    val cost = Array.fill(1 << n)(Double.MaxValue)
+    val last = Array.fill(1 << n)(-1)
+    (0 until n).foreach { i => cost(1 << i) = counts(i); last(1 << i) = i }
+    (1 to full).foreach { s =>
+      if (java.lang.Integer.bitCount(s) >= 2) {
+        val pm = pmCount(s, counts, g)
+        var i = 0
+        while (i < n) {
+          if ((s & (1 << i)) != 0) {
+            val c = cost(s ^ (1 << i)) + counts(i) + pm
+            if (c < cost(s)) { cost(s) = c; last(s) = i }
+          }
+          i += 1
+        }
+      }
+    }
+    var s = full
+    val rev = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (s != 0) { rev += last(s); s ^= 1 << last(s) }
+    rev.reverse.toIndexedSeq
+  }
+
+  /** Optimal bushy tree by subset DP (reference
+    * /root/reference/plan/BushyTreeBuilders.py:16-123): best(S) = min over proper
+    * sub-partitions (L, S\L) of best(L) + best(R) + pm(S). O(3^n); n <= 16 guarded. */
+  private def dpBushy(posArgs: List[PStruct], pw: Map[String, Double],
+                      sel: Map[(String, String), Double]): JTree = {
+    val n = posArgs.length
+    require(n <= 16, s"bushy DP supports up to 16 args, got $n")
+    if (n == 1) return JLeaf(0)
+    val (counts, g) = grids(posArgs, pw, sel)
+    val full = (1 << n) - 1
+    val cost = Array.fill(1 << n)(Double.MaxValue)
+    val tree = new Array[JTree](1 << n)
+    (0 until n).foreach { i => cost(1 << i) = counts(i); tree(1 << i) = JLeaf(i) }
+    (1 to full).foreach { s =>
+      if (java.lang.Integer.bitCount(s) >= 2) {
+        val pm = pmCount(s, counts, g)
+        // enumerate proper submasks; keep the lowest set bit on the left side to halve
+        // the symmetric enumeration (left/right choice does not change the cost model)
+        val lowBit = s & -s
+        var l = (s - 1) & s
+        while (l != 0) {
+          if ((l & lowBit) != 0) {
+            val r = s ^ l
+            val c = cost(l) + cost(r) + pm
+            if (c < cost(s)) { cost(s) = c; tree(s) = JNode(tree(l), tree(r)) }
+          }
+          l = (l - 1) & s
+        }
+      }
+    }
+    tree(full)
+  }
+
+  /** Cost of an arbitrary join tree under the intermediate-count model: sum of expected
+    * PM counts over every node (leaves included). Generalizes [[leftDeepCost]]. */
+  def treeCost(t: JTree, posArgs: List[PStruct],
+               perWindowByType: Map[String, Double],
+               selByNames: Map[(String, String), Double] = Map.empty): Double = {
+    val (counts, g) = grids(posArgs, perWindowByType, selByNames)
+    def mask(tr: JTree): Int = tr.indices.foldLeft(0)((m, i) => m | (1 << i))
+    def go(tr: JTree): Double = tr match {
+      case JLeaf(i)    => counts(i)
+      case JNode(l, r) => go(l) + go(r) + pmCount(mask(tr), counts, g)
+    }
+    go(t)
   }
 
   /** Reference cost model: sum of expected partial-match counts at every node of the

@@ -90,9 +90,12 @@ object HyperCube {
       val kcTypes = kcPrimitiveTypes(p.structure)
       require(kcTypes.forall(t => !attributes.contains(t)),
         s"Kleene-bound types must stay unmapped (broadcast), got mapped: ${kcTypes.filter(attributes.contains)}")
-      // negative types routed by attribute reach only their own faces (reference
-      // behavior); leave negative types unmapped to guarantee every cell sees the
-      // negatives that could invalidate its matches
+      // a negative routed by attribute reaches only its own faces, so the owner cell of
+      // a match may never see the invalidating negative -> silent false positives;
+      // negative types must stay unmapped (broadcast to every cell)
+      val negTypes = negPrimitiveTypes(p.structure)
+      require(negTypes.forall(t => !attributes.contains(t)),
+        s"negated types must stay unmapped (broadcast), got mapped: ${negTypes.filter(attributes.contains)}")
     }
     val spark = events.sparkSession
     import spark.implicits._
@@ -121,6 +124,15 @@ object HyperCube {
           memberCells.reduce(_ intersect _).min == unit
         }
       }
+  }
+
+  private def negPrimitiveTypes(s: PStruct): List[String] = s match {
+    case PNeg(a)          => primitiveTypes(a)
+    case PSeq(as)         => as.flatMap(negPrimitiveTypes)
+    case PAnd(as)         => as.flatMap(negPrimitiveTypes)
+    case POr(as)          => as.flatMap(negPrimitiveTypes)
+    case PKleene(a, _, _) => negPrimitiveTypes(a)
+    case _: Prim          => Nil
   }
 
   private def kcPrimitiveTypes(s: PStruct): List[String] = s match {

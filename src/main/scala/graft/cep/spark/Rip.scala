@@ -47,14 +47,23 @@ object Rip {
     negSpecs.exists(ng => !ng.isSeq || ng.neg.slots.min < firstPos)
   }
 
-  /** Skew-aware auto-routing: a narrow per-key count (key column only — map-side combined,
-    * the shuffle carries one (key, long) row per distinct key) picks the keys holding more
-    * than `hotThreshold` relevant events; cold keys run the plain keyed path, hot keys the
+  /** Skew-aware auto-routing: a SAMPLED per-key count picks the keys holding more than
+    * `hotThreshold` relevant events; cold keys run the plain keyed path, hot keys the
     * salted pane path, outputs unioned. This removes both costs of unconditional salting —
     * the 2-3x event replication paid on uniform corpora — and the plain path's OOM cliff
     * (BatchEvaluator materializes one key group per task; a pathological key is now fanned
     * out over panes instead of failing). Patterns with consumption policies (which salting
-    * cannot honor) route everything through the plain path. */
+    * cannot honor) route everything through the plain path.
+    *
+    * Detection cost: hot-key detection is a ROUTING choice, never a correctness decision
+    * (both paths produce identical matches for any key), so it runs on a sample sized to
+    * expect ~100 rows from a just-hot key (fraction = 100/hotThreshold) instead of a
+    * second full scan of the input — at production thresholds (millions of events) the
+    * detection pass reads ~0.005% of rows. A 2x safety factor flags keys from half the
+    * threshold up: over-flagging costs one key a little pane replication; under-flagging
+    * a >=threshold key needs its Binomial(n>=threshold, f) sample count to land below
+    * half its mean — vanishingly unlikely at 100 expected samples. Tiny thresholds
+    * (< ~100, test scale) degrade to the exact full count. */
   def evaluateAuto(events: Dataset[Ev], patterns: Seq[Pattern], paneMicros: Long,
                    hotThreshold: Long = 2000000L): Dataset[CepMatch] = {
     val spark = events.sparkSession
@@ -64,10 +73,16 @@ object Rip {
     val policyFree = patterns.forall(p =>
       p.policy.single.isEmpty && p.policy.freeze.isEmpty && p.policy.next.isEmpty)
     val filtered = events.filter(col("etype").isin(types: _*))
+    val frac = 100.0 / hotThreshold
     val hot: Array[String] =
       if (!policyFree) Array.empty
-      else filtered.select("key").groupBy("key").count()
-        .filter(col("count") > hotThreshold).select("key").as[String].collect()
+      else if (frac >= 1.0)
+        filtered.select("key").groupBy("key").count()
+          .filter(col("count") > hotThreshold).select("key").as[String].collect()
+      else
+        filtered.select("key").sample(withReplacement = false, frac, seed = 7)
+          .groupBy("key").count()
+          .filter(col("count") > lit(hotThreshold * frac / 2.0)).select("key").as[String].collect()
     if (hot.isEmpty) BatchEvaluator.evaluate(filtered, patterns)
     else
       BatchEvaluator.evaluate(filtered.filter(!col("key").isin(hot: _*)), patterns)

@@ -46,6 +46,14 @@ object StreamEvaluator {
     * per-row streaming cost. Restart safety needs no output dedup: the state store commits
     * transactionally per micro-batch, so a replayed batch starts from the replayed state
     * version. */
+  /** CAVEAT (restart vs plan edits): the plan fingerprint covers tree SHAPE, window and
+    * policies — NOT condition lambdas (functions have no stable identity across JVMs).
+    * Editing only a condition between restarts reuses state admitted under the old
+    * predicate; such edits require a fresh checkpoint. A shape-changing edit migrates
+    * state by leaf replay (MATCH_ANY) or drops it with a logged warning (policy patterns —
+    * replay would bypass freeze admission / double-consume single budgets). */
+  private val migrateWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** `assumeOrdered = true` drops the reorder buffer: each micro-batch's events are fed
     * immediately in (ts, idx) order, trusting the source to deliver every key's events in
     * non-decreasing event-time order across batches (a time-sliced replay, or any source
@@ -89,11 +97,21 @@ object StreamEvaluator {
       case Some(bytes) =>
         val (storedFp, pend, eng) = StateCodec.read(bytes)
         if (storedFp == fingerprint) engine.restore(eng)
-        else
+        else if (compiled.forall(cp => cp.singleAt.isEmpty && cp.freezeMap.isEmpty))
           // checkpoint written under a different plan (join order changed between
           // restarts, or the pattern itself evolved): migrate by leaf-event replay —
           // the reference's trivial tree swap (graft.cep.Adaptive)
           engine = Adaptive.migrate(eng, compiled)
+        else {
+          // policy patterns cannot migrate (replay bypasses freeze admission and
+          // double-consumes single/next budgets): drop this key's engine state instead
+          // of crash-looping the restarted query. Held reorder-buffer events are raw
+          // input, not plan state — they replay safely through the fresh engine.
+          if (migrateWarned.compareAndSet(false, true))
+            System.err.println(s"[graft] plan fingerprint changed under a consumption-policy " +
+              s"pattern: dropping per-key engine state (partial matches lost; reorder-buffer " +
+              s"events kept). Restart policy patterns from a fresh checkpoint to avoid this.")
+        }
         pend
       case None => Vector.empty
     }

@@ -65,6 +65,54 @@ class OrdersSpec extends AnyFunSuite {
     assert(costGreedy <= costNaive)
   }
 
+  test("DP left-deep and DP bushy yield the same output as every permutation") {
+    val sel = Map(("a", "b") -> 0.2, ("c", "d") -> 0.2)
+    val pw = Map("A" -> 10.0, "B" -> 10.0, "C" -> 10.0, "D" -> 10.0)
+    val patterns = Seq(
+      Pattern(SEQ(P("A", "a"), P("B", "b"), P("C", "c"), P("D", "d")),
+        Cond.all(CRel.num("a", "b", RelOp.LT), CRel.num("c", "d", RelOp.GT)), 60 * MIN),
+      Pattern(AND(P("A", "a"), P("B", "b"), P("C", "c"), P("D", "d")),
+        CBinary("a", "d", (x, y) => y.num >= x.num), 40 * MIN),
+      Pattern(SEQ(P("A", "a"), KC(P("B", "b"), min = 1, max = 2), P("C", "c"), P("D", "d")),
+        CTrue, 30 * MIN))
+    val events = randomEvents(120)
+    patterns.foreach { p =>
+      val trivial = run(p, events, Orders.Trivial)
+      assert(trivial.nonEmpty, s"want matches for $p")
+      assert(run(p, events, Orders.DpLeftDeep(pw, sel)) == trivial, s"DP left-deep diverged for $p")
+      assert(run(p, events, Orders.DpBushy(pw, sel)) == trivial, s"DP bushy diverged for $p")
+    }
+  }
+
+  test("DP left-deep is optimal among left-deep orders; bushy beats all left-deep on cross-pairs") {
+    // two selective CROSS pairs: (a,b) tight, (c,d) tight, nothing across the pairs —
+    // a left-deep tree can bracket one pair but must then join the other one arg at a
+    // time through a huge intermediate; bushy (a⋈b)⋈(c⋈d) keeps both sides small
+    val posArgs = List[PStruct](P("A", "a"), P("B", "b"), P("C", "c"), P("D", "d"))
+    val pw = Map("A" -> 100.0, "B" -> 100.0, "C" -> 100.0, "D" -> 100.0)
+    val sel = Map(("a", "b") -> 0.001, ("c", "d") -> 0.001)
+    val allPerms = (0 until 4).toList.permutations.map(_.toIndexedSeq).toList
+    val bestLd = allPerms.map(o => Orders.leftDeepCost(o, posArgs, pw, sel)).min
+    val dpLd = Orders.resolve(Orders.DpLeftDeep(pw, sel), posArgs)
+    assert(Orders.leftDeepCost(dpLd, posArgs, pw, sel) == bestLd,
+      "DP left-deep must match the best permutation's cost")
+    val bushy = Orders.resolveTree(Orders.DpBushy(pw, sel), posArgs)
+    val bushyCost = Orders.treeCost(bushy, posArgs, pw, sel)
+    assert(bushyCost < bestLd,
+      s"bushy cost $bushyCost should beat the best left-deep $bestLd")
+    // the chosen shape is the expected pair-of-pairs
+    def spine(t: Orders.JTree): Set[Set[Int]] = t match {
+      case Orders.JLeaf(_)    => Set.empty
+      case n @ Orders.JNode(l, r) => spine(l) ++ spine(r) + n.indices.toSet
+    }
+    assert(spine(bushy).contains(Set(0, 1)) && spine(bushy).contains(Set(2, 3)),
+      s"expected (a,b) and (c,d) sub-joins, got $bushy")
+    // treeCost on a left-deep spine agrees with leftDeepCost (model consistency)
+    val spineTree = Orders.resolveTree(Orders.Fixed(IndexedSeq(0, 1, 2, 3)), posArgs)
+    assert(math.abs(Orders.treeCost(spineTree, posArgs, pw, sel) -
+      Orders.leftDeepCost(IndexedSeq(0, 1, 2, 3), posArgs, pw, sel)) < 1e-9)
+  }
+
   test("non-trivial order is rejected for policy patterns") {
     val p = Pattern(SEQ(P("A", "a"), P("B", "b")), CTrue, 10 * MIN,
       policy = Policy(single = Set("A")))

@@ -100,13 +100,29 @@ object Rip {
     val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
     val types = compiled.flatMap(_.relevantTypes).distinct
     val backPane = compiled.exists(negCanPrecedeFirstPositive)
+    /** Event types bound under some NOT across the patterns — the only events a pane ever
+      * needs from its FOLLOWING pane (a match's positives all lie at/after its firstTs;
+      * only an invalidating negative may precede it). */
+    val negETypes: Set[String] = compiled.flatMap { cp =>
+      val negSlots = cp.nodes.collect { case n: NegSpec => n.neg.slots }.flatten.toSet
+      cp.nodes.collect { case l: LeafSpec if negSlots(l.slot) => l.etype }
+    }.toSet
 
     events
       .filter(col("etype").isin(types: _*))
       .flatMap { e =>
+        // Windowed replication: a pane-(p-1)-owned match has firstTs < p*W and spans at
+        // most `window` (inclusive), so only events in the FIRST `window` micros of pane p
+        // can be its members; with pane = k*window the replication factor drops from 2 to
+        // 1 + 1/k. The p+1 replica (negatives preceding a match's first positive) is
+        // likewise needed only for negative-TYPE events in the LAST `window` of the pane.
         val p = Math.floorDiv(e.ts, paneMicros)
-        if (backPane) Seq(PaneEv(p, e), PaneEv(p - 1, e), PaneEv(p + 1, e))
-        else Seq(PaneEv(p, e), PaneEv(p - 1, e))
+        val offset = e.ts - p * paneMicros
+        val base = PaneEv(p, e) :: Nil
+        val withPrev = if (offset <= window) PaneEv(p - 1, e) :: base else base
+        if (backPane && negETypes.contains(e.etype) && offset >= paneMicros - window)
+          PaneEv(p + 1, e) :: withPrev
+        else withPrev
       }
       .groupByKey(pe => (pe.ev.key, pe.pane))
       .flatMapGroups { (pk: (String, Long), it: Iterator[PaneEv]) =>

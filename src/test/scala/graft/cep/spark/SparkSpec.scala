@@ -91,6 +91,47 @@ class SparkSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("windowed replication boundaries: members exactly `window` into / before a pane edge") {
+    import spark.implicits._
+    // pane = 2*window: events beyond `window` into a pane are NOT replicated to pane p-1;
+    // this pins the inclusive window edge (ts - firstTs == window is a valid match) right
+    // at the replication cutoff, and likewise the back-replica cutoff for a leading NOT.
+    val pane = 10 * MIN
+    val w = 5 * MIN
+    val seqP = Pattern(SEQ(P("USER", "u"), P("ASSISTANT", "a")), CTrue, windowMicros = w)
+    // u just before the pane-3 boundary, a exactly `window` later (== w into pane 3):
+    // the match is owned by pane 2 and `a` sits exactly at the replication cutoff
+    val edge = Seq(
+      Ev("k-e1", 0, "USER", 3 * pane - 1, 0, null, null),
+      Ev("k-e1", 1, "ASSISTANT", 3 * pane - 1 + w, 0, null, null),
+      // and one pair straddling with a at cutoff+1 (must NOT match: window exceeded)
+      Ev("k-e2", 0, "USER", 5 * pane - 1, 0, null, null),
+      Ev("k-e2", 1, "ASSISTANT", 5 * pane + w, 0, null, null))
+    val ds = spark.createDataset(edge)
+    val plain = canon(BatchEvaluator.evaluate(ds, Seq(seqP)).collect().toSeq)
+    val salted = canon(Rip.evaluateSalted(ds, Seq(seqP), pane).collect().toSeq)
+    assert(plain.map(_._1) == Set("k-e1"), s"want exactly the k-e1 match, got $plain")
+    assert(salted == plain)
+    // leading NOT: the negative exactly `window` before the first positive invalidates
+    // (inclusive), and lives exactly at the back-replica cutoff of its pane
+    val notFirst = Pattern(
+      SEQ(NOT(P("TOOL", "b")), P("USER", "u"), P("ASSISTANT", "a")), CTrue, windowMicros = w)
+    // the merged window check INCLUDES the negative, so b exactly `window` before u
+    // invalidates only when the full span (b..a) is <= window: a ties with u
+    val negEdge = Seq(
+      Ev("k-n1", 0, "TOOL", 4 * pane - w, 0, null, null), // == paneStart(4) - w, back-replica cutoff
+      Ev("k-n1", 1, "USER", 4 * pane, 0, null, null),
+      Ev("k-n1", 2, "ASSISTANT", 4 * pane, 0, null, null),
+      // control key without the negative: must match
+      Ev("k-n2", 1, "USER", 4 * pane, 0, null, null),
+      Ev("k-n2", 2, "ASSISTANT", 4 * pane, 0, null, null))
+    val ds2 = spark.createDataset(negEdge)
+    val plain2 = canon(BatchEvaluator.evaluate(ds2, Seq(notFirst)).collect().toSeq)
+    val salted2 = canon(Rip.evaluateSalted(ds2, Seq(notFirst), pane).collect().toSeq)
+    assert(plain2.map(_._1) == Set("k-n2"), s"want only the control match, got $plain2")
+    assert(salted2 == plain2)
+  }
+
   test("auto hot-key routing equals plain, with and without a triggering hot key") {
     val patterns = Seq(flagship.copy(id = 0), negPattern.copy(id = 1), kcPattern.copy(id = 2))
     val plain = canon(BatchEvaluator.evaluate(evs, patterns).collect().toSeq)

@@ -16,13 +16,71 @@ import graft.cep._
  */
 object BatchEvaluator {
 
+  /** Column order [[rowToEv]] expects; callers shuffling rows must select exactly this. */
+  private[spark] val EvCols = Seq("key", "idx", "etype", "ts", "num", "s1", "s2", "prob")
+
+  private[spark] def rowToEv(r: org.apache.spark.sql.Row): Ev =
+    Ev(r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4),
+      r.getString(5), r.getString(6), r.getDouble(7))
+
   /** Evaluate patterns over a typed event dataset. The relevant-type filter is applied as a
-    * Catalyst predicate BEFORE the shuffle so it reaches the parquet scan (pushdown); the
-    * per-key group is sorted by (ts, idx) and fed through the incremental engine.
+    * Catalyst predicate BEFORE the shuffle so it reaches the parquet scan (pushdown).
+    *
+    * The shuffle + ordering stay ROW-based end to end: `repartition(key)` hash-co-locates
+    * each conversation without the map-side object materialization `groupByKey(_.key)`
+    * pays (AppendColumns deserializes every Ev — text payload included — just to read one
+    * field), and `sortWithinPartitions(key, ts, idx)` hands the work to Tungsten's
+    * UnsafeRow sort instead of a per-group `Arrays.sort` over freshly allocated objects.
+    * Events materialize exactly once, on the reduce side, streaming straight into the
+    * engine at key boundaries — no per-group array.
+    *
     * `sortedStorage` enables binary-searched relop probes (output-invariant; off = the
     * reference's default full-scan probe, /root/reference/misc/DefaultConfig.py:34). */
   def evaluate(events: Dataset[Ev], patterns: Seq[Pattern],
                sortedStorage: Boolean = false): Dataset[CepMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
+    val types = compiled.flatMap(_.relevantTypes).distinct
+    events
+      .filter(col("etype").isin(types: _*))
+      .toDF()
+      .select(EvCols.map(col) :+ xxhash64(col("key")).as("khash"): _*)
+      .repartition(col("key"))
+      // Leading with the key's 64-bit hash makes the sort's 8-byte prefix comparison
+      // decisive for (almost) every cross-key pair — the raw conv-id strings share long
+      // literal prefixes, which would force full UTF8String compares. `key` stays in the
+      // order to break hash collisions deterministically; grouping only needs key
+      // contiguity, not lexicographic key order.
+      .sortWithinPartitions("khash", "key", "ts", "idx")
+      .mapPartitions { rows =>
+        new Iterator[CepMatch] {
+          private var curKey: String = null
+          private var engine: MatchEngine = null
+          private val buf = scala.collection.mutable.Queue.empty[CepMatch]
+          private def refill(): Unit = {
+            while (buf.isEmpty && rows.hasNext) {
+              val r = rows.next()
+              val k = r.getString(0)
+              if (k != curKey) {
+                if (engine != null) buf ++= engine.finish()
+                curKey = k
+                engine = new MatchEngine(compiled, sortedStorage = sortedStorage)
+              }
+              buf ++= engine.feed(rowToEv(r))
+            }
+            if (buf.isEmpty && engine != null) { buf ++= engine.finish(); engine = null }
+          }
+          def hasNext: Boolean = { refill(); buf.nonEmpty }
+          def next(): CepMatch = { refill(); buf.dequeue() }
+        }
+      }
+  }
+
+  /** The original typed-Dataset formulation (`groupByKey(_.key).flatMapGroups`), kept as
+    * the semantic specification the row-based plan above is tested against. */
+  private[spark] def evaluateTyped(events: Dataset[Ev], patterns: Seq[Pattern],
+                                   sortedStorage: Boolean = false): Dataset[CepMatch] = {
     val spark = events.sparkSession
     import spark.implicits._
     val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq

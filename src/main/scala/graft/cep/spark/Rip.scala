@@ -33,8 +33,6 @@ import graft.cep._
  */
 object Rip {
 
-  final case class PaneEv(pane: Long, ev: Ev)
-
   /** True when some negative of `cp` can arrive up to one window before the pattern's
     * first positive event: any NOT under AND, or a SEQ negative whose slot precedes every
     * positive slot. Drives the 3-pane replication above. */
@@ -108,34 +106,62 @@ object Rip {
       cp.nodes.collect { case l: LeafSpec if negSlots(l.slot) => l.etype }
     }.toSet
 
+    // Windowed replication, computed entirely in Catalyst (codegen'd — no map-side object
+    // materialization): a pane-(p-1)-owned match has firstTs < p*W and spans at most
+    // `window` (inclusive), so only events in the FIRST `window` micros of pane p can be
+    // its members; with pane = k*window the replication factor drops from 2 to 1 + 1/k.
+    // The p+1 replica (negatives preceding a match's first positive) is likewise needed
+    // only for negative-TYPE events in the LAST `window` of the pane.
+    val paneLit = lit(paneMicros)
+    // floorDiv(ts, pane) — SQL `div` truncates toward zero, so shift negatives by one.
+    val p = when(col("ts") >= 0, expr(s"ts div ${paneMicros}L"))
+      .otherwise(expr(s"(ts + 1) div ${paneMicros}L") - 1L)
+    val offset = col("ts") - p * paneLit
+    val prevRep = when(offset <= lit(window), p - 1L)
+    val nextRep =
+      if (backPane && negETypes.nonEmpty)
+        when(col("etype").isin(negETypes.toSeq: _*) && offset >= paneLit - lit(window), p + 1L)
+      else lit(null).cast("long")
     events
       .filter(col("etype").isin(types: _*))
-      .flatMap { e =>
-        // Windowed replication: a pane-(p-1)-owned match has firstTs < p*W and spans at
-        // most `window` (inclusive), so only events in the FIRST `window` micros of pane p
-        // can be its members; with pane = k*window the replication factor drops from 2 to
-        // 1 + 1/k. The p+1 replica (negatives preceding a match's first positive) is
-        // likewise needed only for negative-TYPE events in the LAST `window` of the pane.
-        val p = Math.floorDiv(e.ts, paneMicros)
-        val offset = e.ts - p * paneMicros
-        val base = PaneEv(p, e) :: Nil
-        val withPrev = if (offset <= window) PaneEv(p - 1, e) :: base else base
-        if (backPane && negETypes.contains(e.etype) && offset >= paneMicros - window)
-          PaneEv(p + 1, e) :: withPrev
-        else withPrev
-      }
-      .groupByKey(pe => (pe.ev.key, pe.pane))
-      .flatMapGroups { (pk: (String, Long), it: Iterator[PaneEv]) =>
-        val pane = pk._2
-        val evs = it.map(_.ev).toArray
-        java.util.Arrays.sort(evs, Ordering.by((e: Ev) => (e.ts, e.idx)))
-        val engine = new MatchEngine(compiled)
-        val out = Vector.newBuilder[CepMatch]
-        evs.foreach(e => out ++= engine.feed(e))
-        out ++= engine.finish()
-        val lo = pane * paneMicros
-        val hi = lo + paneMicros
-        out.result().iterator.filter(m => m.firstTs >= lo && m.firstTs < hi)
+      .toDF()
+      .select(BatchEvaluator.EvCols.map(col): _*)
+      .withColumn("pane", explode(array_compact(array(p, prevRep, nextRep))))
+      .withColumn("khash", xxhash64(col("key"), col("pane")))
+      .repartition(col("key"), col("pane"))
+      // hash-led sort: see BatchEvaluator.evaluate — prefix-decisive cross-group compares
+      .sortWithinPartitions("khash", "key", "pane", "ts", "idx")
+      .mapPartitions { rows =>
+        // Streaming walk over (key, pane) runs — same shape as BatchEvaluator.evaluate's
+        // reduce side, plus the owner filter: a match is kept only by the pane containing
+        // its firstTs, so each match is emitted exactly once despite replication.
+        new Iterator[CepMatch] {
+          private var curKey: String = null
+          private var curPane: Long = 0L
+          private var engine: MatchEngine = null
+          private val buf = scala.collection.mutable.Queue.empty[CepMatch]
+          private def owned(ms: Iterable[CepMatch]): Unit = {
+            val lo = curPane * paneMicros
+            val hi = lo + paneMicros
+            ms.foreach(m => if (m.firstTs >= lo && m.firstTs < hi) buf += m)
+          }
+          private def refill(): Unit = {
+            while (buf.isEmpty && rows.hasNext) {
+              val r = rows.next()
+              val k = r.getString(0)
+              val pn = r.getLong(8)
+              if (k != curKey || pn != curPane || engine == null) {
+                if (engine != null) owned(engine.finish())
+                curKey = k; curPane = pn
+                engine = new MatchEngine(compiled)
+              }
+              owned(engine.feed(BatchEvaluator.rowToEv(r)))
+            }
+            if (buf.isEmpty && engine != null) { owned(engine.finish()); engine = null }
+          }
+          def hasNext: Boolean = { refill(); buf.nonEmpty }
+          def next(): CepMatch = { refill(); buf.dequeue() }
+        }
       }
   }
 }

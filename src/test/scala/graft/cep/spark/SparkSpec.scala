@@ -58,6 +58,13 @@ class SparkSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("row-based evaluate equals the typed groupByKey formulation") {
+    val patterns = Seq(flagship.copy(id = 0), negPattern.copy(id = 1), kcPattern.copy(id = 2))
+    val rowBased = canon(BatchEvaluator.evaluate(evs, patterns).collect().toSeq)
+    val typed = canon(BatchEvaluator.evaluateTyped(evs, patterns).collect().toSeq)
+    assert(rowBased.nonEmpty && rowBased == typed)
+  }
+
   test("salted (RIP pane) evaluation equals unsalted on a skewed corpus") {
     val patterns = Seq(flagship.copy(id = 0), negPattern.copy(id = 1), kcPattern.copy(id = 2))
     val plain = canon(BatchEvaluator.evaluate(evs, patterns).collect().toSeq)

@@ -73,8 +73,7 @@ object Bench {
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/dev/shm/graft-bench-corpus")
     val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS",
       if (full) "250000" else "150000").toInt
-    val cliffConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS",
-      if (full) "40000" else "20000").toInt
+    val cliffConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "40000").toInt
     val mixConvs = sys.env.getOrElse("SPARK_GRAFT_SKEWMIX_CONVS", "150000").toInt
     val uniformPath = s"$corpusDir/uniform"
     val cliffPath = s"$corpusDir/cliff"
@@ -95,16 +94,22 @@ object Bench {
     // JVM/codegen/scan-setup cost (round 1 reported cep_and2 at 7.6 s when its steady-state
     // cost is <1 s). The timed pass then measures each query warm.
     val spark = session(cpus)
-    def runAll(timed: Boolean): Seq[(String, Double)] =
+    def runAll(dir: String): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val (_, dt) = time {
-          try fn(spark, sfDir).count()
+          try fn(spark, dir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
         }
         name -> dt
       }
-    runAll(timed = false)
-    val queryTimes = runAll(timed = true)
+    // Warm at the smallest SF: same plans -> same codegen cache entries, a fraction of the
+    // timed pass's wall (the warmup only needs to absorb one-time JVM/codegen setup).
+    val warmDir = {
+      val small = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+      if (new java.io.File(small).isDirectory) small else sfDir
+    }
+    runAll(warmDir)
+    val queryTimes = runAll(sfDir)
     spark.stop()
 
     // --- part 1b: engine micro-benches (pure JVM, no Spark) ------------------------------
@@ -253,11 +258,16 @@ object Bench {
     // beyond ~8 threads — raw CPU scales to 32 procs, row processing does not; on a real
     // multi-executor cluster every executor brings its own memory channels).
     val levels = Seq(2, 8, 32)
+    // In-fork reps: C2 JIT of the row-deser + engine hot path takes ~3 full passes to
+    // stabilize (measured: 19.9/14.3/11.7/2.0/1.7 s across reps at local[32]); a single
+    // warmup is NOT enough, so each fork runs several timed reps and reports its min.
+    // Higher core counts warm slower (fewer iterations per thread) — give them more reps.
+    def inForkReps(cores: Int): Int = if (cores >= 32) 5 else 3
     val runs = scala.collection.mutable.Map.empty[Int, List[LevelResult]].withDefaultValue(Nil)
-    levels.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", 1) :: runs(c)) // rep 1: always
+    levels.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", inForkReps(c)) :: runs(c))
     (2 to parentReps).foreach { _ =>
       if (withinBudget)
-        levels.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", 1) :: runs(c))
+        levels.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", inForkReps(c)) :: runs(c))
     }
     // cliff-skew demo: 80% of turns in ONE conversation — plain serializes on the hot
     // task; salting fans it out (the mechanism's reason to exist). Modes interleave

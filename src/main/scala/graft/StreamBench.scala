@@ -34,8 +34,21 @@ object StreamBench {
       // RawLocalFileSystem: skip Hadoop ChecksumFileSystem's .crc bookkeeping for the
       // tmpfs checkpoint (a real deployment checkpoints to HDFS/object storage whose
       // client handles integrity; double-checksumming local tmpfs only adds latency)
-      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // (RocksDB's checkpoint file manager casts to LocalFileSystem, so the raw-FS
+      // shortcut only applies to the HDFS-backed store)
+      .config("spark.hadoop.fs.file.impl",
+        if (sys.env.get("SPARK_GRAFT_STREAM_STORE").contains("rocksdb"))
+          "org.apache.hadoop.fs.LocalFileSystem"
+        else "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.sql.streaming.stateStore.formatValidation.enabled", "false")
+      // SPARK_GRAFT_STREAM_STORE=rocksdb swaps in the RocksDB provider (with changelog
+      // checkpointing, so per-batch commits upload deltas instead of full snapshots) —
+      // the frontier comparison row for BASELINE.md's state-store analysis
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("SPARK_GRAFT_STREAM_STORE").contains("rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -96,7 +109,11 @@ object StreamBench {
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(s"$srcDir/b*").as[Ev]
       val t0 = System.nanoTime()
-      val q = StreamEvaluator.evaluate(src, patterns, delay = "1 minute", assumeOrdered = orderedRun)
+      val useTws = sys.env.get("SPARK_GRAFT_STREAM_API").contains("tws")
+      val q = (if (useTws)
+        StreamEvaluator.evaluateTws(src, patterns, delay = "1 minute", assumeOrdered = orderedRun)
+      else
+        StreamEvaluator.evaluate(src, patterns, delay = "1 minute", assumeOrdered = orderedRun))
         .filter(col("key") =!= "zz-sentinel")
         .observe("cep", count(lit(1)).as("n_matches")) // count via metrics, not a driver sink
         .writeStream.format("noop")
@@ -147,6 +164,8 @@ object StreamBench {
     println(
       f"""{"metric":"stream_throughput","value":${(n / best.wall).toLong},"unit":"turns/sec","turns":$n,"matches":${best.matches},""" +
         f""""mode":"${if (ordered) "ordered" else "watermark"}","text_pruned":true,""" +
+        f""""store":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_STORE", "hdfs")}",""" +
+        f""""api":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_API", "fmgws")}",""" +
         f""""raw_local_fs":true,"state_format_validation":false$wmJson,""" +
         f""""batch_matches":$batchMatches,"wall_sec":${best.wall}%.2f,"batches":${best.batches},""" +
         f""""batch_p50_sec":${best.p50}%.3f,"batch_p95_sec":${best.p95}%.3f,""" +

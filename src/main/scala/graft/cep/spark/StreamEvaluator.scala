@@ -2,7 +2,7 @@ package graft.cep.spark
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.cep._
 
 /**
@@ -84,16 +84,22 @@ object StreamEvaluator {
         processKey(compiled, maxWindowMs, assumeOrdered))
   }
 
-  private def processKey(compiled: IndexedSeq[CompiledPattern], maxWindowMs: Long,
-                         assumeOrdered: Boolean = false)(
-      key: String,
-      rows: Iterator[Ev],
-      state: GroupState[Array[Byte]]): Iterator[CepMatch] = {
+  /** One per-key state transition: (stored state, incoming events, watermark) ->
+    * (matches, new state bytes or None when the key goes quiescent, next wakeup time).
+    * Shared verbatim by the flatMapGroupsWithState path and the transformWithState path —
+    * the two differ only in how state bytes and timers are plumbed. */
+  private[spark] final case class StepOut(matches: Vector[CepMatch],
+                                          state: Option[Array[Byte]],
+                                          wakeAtMs: Option[Long])
+
+  private[spark] def step(compiled: IndexedSeq[CompiledPattern], maxWindowMs: Long,
+                          assumeOrdered: Boolean, stored: Option[Array[Byte]],
+                          incoming: Vector[Ev], watermarkMs: Long): StepOut = {
     var t0 = System.nanoTime()
     Prof.keyVisits.incrementAndGet()
     val fingerprint = Adaptive.fingerprint(compiled)
     var engine = new MatchEngine(compiled)
-    val prevPending: Vector[Ev] = state.getOption match {
+    val prevPending: Vector[Ev] = stored match {
       case Some(bytes) =>
         val (storedFp, pend, eng) = StateCodec.read(bytes)
         if (storedFp == fingerprint) engine.restore(eng)
@@ -117,9 +123,8 @@ object StreamEvaluator {
     }
     Prof.readNs.addAndGet(System.nanoTime() - t0)
 
-    val incoming = rows.toVector
     Prof.rowsIn.addAndGet(incoming.length)
-    val watermark = state.getCurrentWatermarkMs() * 1000L // ms -> micros
+    val watermark = watermarkMs * 1000L // ms -> micros
     val all = (prevPending ++ incoming).sortBy(e => (e.ts, e.idx))
     // feed only the watermark-complete prefix: events at ts >= watermark may still gain
     // earlier-or-tied siblings in later batches, so they wait in the reorder buffer
@@ -138,22 +143,106 @@ object StreamEvaluator {
     // store entirely — otherwise every key would be rescanned on every micro-batch
     t0 = System.nanoTime()
     engine.pruneExpired(watermark)
-    if (hold.isEmpty && engine.isQuiescent) {
-      state.remove()
-      Prof.writeNs.addAndGet(System.nanoTime() - t0)
-    } else {
-      state.update(StateCodec.write(fingerprint, hold, engine.snapshot()))
-      Prof.writeNs.addAndGet(System.nanoTime() - t0)
-      if (hold.nonEmpty || engine.hasPending)
-        // wake on watermark advance to release held events / parked negation matches
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1000L)
-      else
-        // live buffers only matter when new data arrives, but if none ever does the key
-        // must still be reaped: one wakeup after the longest pattern window has certainly
-        // passed lets pruneExpired + isQuiescent remove the entry — a far-future timer
-        // would retain one-shot keys forever on a long-running stream
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + maxWindowMs + 1000L)
-    }
-    out.result().iterator
+    val res =
+      if (hold.isEmpty && engine.isQuiescent) StepOut(out.result(), None, None)
+      else {
+        val bytes = StateCodec.write(fingerprint, hold, engine.snapshot())
+        val wake =
+          if (hold.nonEmpty || engine.hasPending)
+            // wake on watermark advance to release held events / parked negation matches
+            watermarkMs + 1000L
+          else
+            // live buffers only matter when new data arrives, but if none ever does the
+            // key must still be reaped: one wakeup after the longest pattern window has
+            // certainly passed lets pruneExpired + isQuiescent remove the entry — a
+            // far-future timer would retain one-shot keys forever on a long-running stream
+            watermarkMs + maxWindowMs + 1000L
+        StepOut(out.result(), Some(bytes), Some(wake))
+      }
+    Prof.writeNs.addAndGet(System.nanoTime() - t0)
+    res
   }
+
+  private def processKey(compiled: IndexedSeq[CompiledPattern], maxWindowMs: Long,
+                         assumeOrdered: Boolean = false)(
+      key: String,
+      rows: Iterator[Ev],
+      state: GroupState[Array[Byte]]): Iterator[CepMatch] = {
+    val res = step(compiled, maxWindowMs, assumeOrdered, state.getOption, rows.toVector,
+      state.getCurrentWatermarkMs())
+    res.state match {
+      case Some(bytes) =>
+        state.update(bytes)
+        res.wakeAtMs.foreach(state.setTimeoutTimestamp)
+      case None => state.remove()
+    }
+    res.matches.iterator
+  }
+
+  /** The same evaluator on Spark's `transformWithState` (state-store v2) API: granular
+    * per-key ValueState + explicit timers over the RocksDB provider, replacing
+    * flatMapGroupsWithState's whole-store commit path. Output, state transitions and
+    * wakeup times are IDENTICAL to [[evaluate]] — both call [[step]]; only the state/timer
+    * plumbing differs. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider`). */
+  def evaluateTws(
+      events: Dataset[Ev],
+      patterns: Seq[Pattern],
+      delay: String = "10 seconds",
+      assumeOrdered: Boolean = false,
+      order: Orders.Strategy = Orders.Trivial): Dataset[CepMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val compiled = patterns.flatMap(p => Compiler.compile(p, order)).toIndexedSeq
+    val types = compiled.flatMap(_.relevantTypes).distinct
+    val maxWindowMs = compiled.map(_.windowMicros).max / 1000L
+    events
+      .filter(col("etype").isin(types: _*))
+      .withColumn("eventTime", timestamp_micros(col("ts")))
+      .withWatermark("eventTime", delay)
+      .as[Ev]
+      .groupByKey(_.key)
+      .transformWithState(new CepStatefulProcessor(compiled, maxWindowMs, assumeOrdered),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
+
+/** transformWithState plumbing around [[StreamEvaluator.step]]: byte-array ValueState for
+  * the codec envelope, and exactly one live timer per key (reconciled via listTimers —
+  * registerTimer accumulates otherwise, turning every historical wakeup into a spurious
+  * key visit). */
+private[spark] class CepStatefulProcessor(compiled: IndexedSeq[CompiledPattern],
+                                          maxWindowMs: Long, assumeOrdered: Boolean)
+    extends StatefulProcessor[String, Ev, CepMatch] {
+  @transient private var st: ValueState[Array[Byte]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Array[Byte]]("cep", Encoders.BINARY, TTLConfig.NONE)
+
+  private def visit(rows: Iterator[Ev], watermarkMs: Long): Iterator[CepMatch] = {
+    val res = StreamEvaluator.step(compiled, maxWindowMs, assumeOrdered,
+      if (st.exists()) Some(st.get()) else None, rows.toVector, watermarkMs)
+    val handle = getHandle
+    val existing = handle.listTimers().toList
+    res.state match {
+      case Some(bytes) =>
+        st.update(bytes)
+        res.wakeAtMs.foreach { w =>
+          existing.foreach { t => if (t != w) handle.deleteTimer(t) }
+          if (!existing.contains(w)) handle.registerTimer(w)
+        }
+      case None =>
+        st.clear()
+        existing.foreach(handle.deleteTimer)
+    }
+    res.matches.iterator
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[Ev],
+                               timerValues: TimerValues): Iterator[CepMatch] =
+    visit(rows, timerValues.getCurrentWatermarkInMs())
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[CepMatch] =
+    visit(Iterator.empty, timerValues.getCurrentWatermarkInMs())
 }

@@ -47,6 +47,40 @@ class StreamSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("transformWithState evaluator (RocksDB store) equals batch under slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val turns = Transcripts.generate(nConvs = 12)
+    val evs = Transcripts.toEv(Transcripts.toDs(spark, turns)).collect().toSeq.sortBy(e => (e.ts, e.idx))
+    val maxTs = evs.map(_.ts).max
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val out = StreamEvaluator.evaluateTws(input.toDS(), patterns, delay = "5 seconds")
+      val query = out.writeStream
+        .format("memory").queryName("ceptws").outputMode("append")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      evs.grouped(41).foreach { s => input.addData(s); query.processAllAvailable() }
+      input.addData(sentinel(maxTs)); query.processAllAvailable()
+      input.addData(sentinel(maxTs + 1)); query.processAllAvailable()
+      val got = canon(dropSentinel(spark.table("ceptws").as[CepMatch].collect().toSeq))
+      query.stop()
+      val want = canon(dropSentinel(
+        BatchEvaluator.evaluate(Transcripts.toEv(Transcripts.toDs(spark, turns)), patterns).collect().toSeq))
+      assert(want.nonEmpty)
+      assert(got == want)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("assumeOrdered mode equals batch when slices respect (ts, idx) order") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -18,9 +18,20 @@ import scala.collection.mutable.ArrayBuffer
  */
 object StateCodec {
 
-  final val Version = 2
+  final val Version = 3
 
-  def write(planFingerprint: Int, pendingEvents: Vector[Ev], engine: EngineState): Array[Byte] = {
+  /** Mid-transition section of a simultaneous plan swap
+    * (/root/reference/tree/evaluation/SimultaneousTreeBasedEvaluationMechanism.py:14-92):
+    * the retiring plan's fingerprint and engine snapshot, the watermark when the
+    * transition began, and the event time of the FIRST event fed to the new engine
+    * (Long.MaxValue until one arrives) — the exact ownership boundary between the trees. */
+  final case class OldPlan(fp: Int, startWm: Long, firstFedTs: Long, engine: EngineState)
+
+  final case class Decoded(fp: Int, pending: Vector[Ev], engine: EngineState,
+                           old: Option[OldPlan])
+
+  def write(planFingerprint: Int, pendingEvents: Vector[Ev], engine: EngineState,
+            old: Option[OldPlan] = None): Array[Byte] = {
     val bos = new ByteArrayOutputStream(512)
     val out = new DataOutputStream(bos)
     val strDict = new java.util.HashMap[String, Integer]()
@@ -50,27 +61,35 @@ object StateCodec {
     def wPM(p: PM): Unit = {
       out.writeInt(p.binds.length); p.binds.foreach(wBind); out.writeDouble(p.prob)
     }
+    def wEngine(e: EngineState): Unit = {
+      out.writeInt(e.runtimes.length)
+      e.runtimes.foreach { rt =>
+        out.writeInt(rt.bufs.length)
+        rt.bufs.foreach { b => out.writeInt(b.length); b.foreach(wPM) }
+        out.writeInt(rt.pending.length); rt.pending.foreach(wPM)
+        out.writeInt(rt.filtered.length)
+        rt.filtered.foreach { case (id, fs) =>
+          out.writeInt(id); out.writeInt(fs.length)
+          fs.foreach { f => out.writeLong(f.idx); out.writeLong(f.minTs) }
+        }
+        out.writeInt(rt.freezers.length)
+        rt.freezers.foreach { case (n, e) => ws(n); wEv(e) }
+      }
+    }
     out.writeByte(Version)
     out.writeInt(planFingerprint)
     out.writeInt(pendingEvents.length); pendingEvents.foreach(wEv)
-    out.writeInt(engine.runtimes.length)
-    engine.runtimes.foreach { rt =>
-      out.writeInt(rt.bufs.length)
-      rt.bufs.foreach { b => out.writeInt(b.length); b.foreach(wPM) }
-      out.writeInt(rt.pending.length); rt.pending.foreach(wPM)
-      out.writeInt(rt.filtered.length)
-      rt.filtered.foreach { case (id, fs) =>
-        out.writeInt(id); out.writeInt(fs.length)
-        fs.foreach { f => out.writeLong(f.idx); out.writeLong(f.minTs) }
-      }
-      out.writeInt(rt.freezers.length)
-      rt.freezers.foreach { case (n, e) => ws(n); wEv(e) }
+    wEngine(engine)
+    out.writeBoolean(old.isDefined)
+    old.foreach { o =>
+      out.writeInt(o.fp); out.writeLong(o.startWm); out.writeLong(o.firstFedTs)
+      wEngine(o.engine)
     }
     out.flush()
     bos.toByteArray
   }
 
-  def read(bytes: Array[Byte]): (Int, Vector[Ev], EngineState) = {
+  def read(bytes: Array[Byte]): Decoded = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val strs = ArrayBuffer.empty[String]
     val evs = ArrayBuffer.empty[Ev]
@@ -108,17 +127,22 @@ object StateCodec {
       while (i < n) { b += f(); i += 1 }
       b.result()
     }
-    val v = in.readByte()
-    require(v == Version, s"unsupported state version $v")
-    val fp = in.readInt()
-    val pending = rSeq(rEv)
-    val runtimes = rSeq { () =>
+    def rEngine(): EngineState = EngineState(rSeq { () =>
       RuntimeState(
         bufs = rSeq(() => rSeq(rPM)),
         pending = rSeq(rPM),
         filtered = rSeq(() => (in.readInt(), rSeq(() => FilteredEv(in.readLong(), in.readLong())))),
         freezers = rSeq(() => (rs(), rEv())))
-    }
-    (fp, pending, EngineState(runtimes))
+    })
+    val v = in.readByte()
+    require(v == 2 || v == Version, s"unsupported state version $v")
+    val fp = in.readInt()
+    val pending = rSeq(rEv)
+    val engine = rEngine()
+    val old =
+      if (v >= 3 && in.readBoolean())
+        Some(OldPlan(in.readInt(), in.readLong(), in.readLong(), rEngine()))
+      else None
+    Decoded(fp, pending, engine, old)
   }
 }

@@ -62,15 +62,24 @@ object StreamEvaluator {
     * key visits and state rewrites, because events no longer wait one watermark cycle in
     * the buffer. The default stays the stronger watermark-complete mode, which is
     * deterministic under arbitrary disorder. */
+  /** `previousOrder`: when restarting a checkpointed query with a CHANGED join order,
+    * passing the order the checkpoint was written under enables the in-flight
+    * SIMULTANEOUS swap (SimultaneousTreeBasedEvaluationMechanism.py:14-92): each key runs
+    * the retiring plan alongside the new one for one window — no partial-match loss, no
+    * leaf replay — then retires it. Without it, a fingerprint mismatch falls back to
+    * leaf-replay migration (the reference's trivial swap). MATCH_ANY patterns only. */
   def evaluate(
       events: Dataset[Ev],
       patterns: Seq[Pattern],
       delay: String = "10 seconds",
       assumeOrdered: Boolean = false,
-      order: Orders.Strategy = Orders.Trivial): Dataset[CepMatch] = {
+      order: Orders.Strategy = Orders.Trivial,
+      previousOrder: Option[Orders.Strategy] = None): Dataset[CepMatch] = {
     val spark = events.sparkSession
     import spark.implicits._ // provides the BINARY encoder for the byte-array state
     val compiled = patterns.flatMap(p => Compiler.compile(p, order)).toIndexedSeq
+    val oldCompiled = previousOrder.map(po =>
+      patterns.flatMap(p => Compiler.compile(p, po)).toIndexedSeq)
     val types = compiled.flatMap(_.relevantTypes).distinct
 
     val maxWindowMs = compiled.map(_.windowMicros).max / 1000L
@@ -81,7 +90,7 @@ object StreamEvaluator {
       .as[Ev]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        processKey(compiled, maxWindowMs, assumeOrdered))
+        processKey(compiled, maxWindowMs, assumeOrdered, oldCompiled))
   }
 
   /** One per-key state transition: (stored state, incoming events, watermark) ->
@@ -94,20 +103,49 @@ object StreamEvaluator {
 
   private[spark] def step(compiled: IndexedSeq[CompiledPattern], maxWindowMs: Long,
                           assumeOrdered: Boolean, stored: Option[Array[Byte]],
-                          incoming: Vector[Ev], watermarkMs: Long): StepOut = {
+                          incoming: Vector[Ev], watermarkMs: Long,
+                          oldCompiled: Option[IndexedSeq[CompiledPattern]] = None): StepOut = {
     var t0 = System.nanoTime()
     Prof.keyVisits.incrementAndGet()
     val fingerprint = Adaptive.fingerprint(compiled)
+    val oldFp = oldCompiled.map(Adaptive.fingerprint)
+    val policyFree = compiled.forall(cp => cp.singleAt.isEmpty && cp.freezeMap.isEmpty)
     var engine = new MatchEngine(compiled)
+    val maxWindow = maxWindowMs * 1000L
+    val watermark = watermarkMs * 1000L // ms -> micros
+    // In-flight simultaneous swap (the reference's
+    // SimultaneousTreeBasedEvaluationMechanism.py:14-92): during a per-key transition the
+    // RETIRING plan's engine also runs; only ITS matches are emitted (it has seen every
+    // event, so it finds everything the new engine finds), and the new engine builds state
+    // silently. `firstFedTs` = event time of the first event the new engine saw; matches
+    // with firstTs before it necessarily use an event only the old engine has. Retirement
+    // happens one window after that boundary, when every old-only match is complete.
+    var trans: Option[(MatchEngine, Long, Long)] = None // (old engine, startWm, firstFedTs)
     val prevPending: Vector[Ev] = stored match {
       case Some(bytes) =>
-        val (storedFp, pend, eng) = StateCodec.read(bytes)
-        if (storedFp == fingerprint) engine.restore(eng)
-        else if (compiled.forall(cp => cp.singleAt.isEmpty && cp.freezeMap.isEmpty))
-          // checkpoint written under a different plan (join order changed between
-          // restarts, or the pattern itself evolved): migrate by leaf-event replay —
+        val d = StateCodec.read(bytes)
+        if (d.fp == fingerprint) {
+          engine.restore(d.engine)
+          d.old.foreach { o =>
+            if (oldFp.contains(o.fp) && policyFree) {
+              val oe = new MatchEngine(oldCompiled.get)
+              oe.restore(o.engine)
+              trans = Some((oe, o.startWm, o.firstFedTs))
+            }
+            // else: the previousOrder no longer matches the stored transition (plan
+            // changed again mid-transition) — abandon the old tree; the new engine
+            // already owns every match from firstFedTs on.
+          }
+        } else if (oldFp.contains(d.fp) && policyFree) {
+          // restart under a NEW plan with previousOrder = the stored plan: begin the
+          // simultaneous transition — old engine restored intact, new engine empty
+          val oe = new MatchEngine(oldCompiled.get)
+          oe.restore(d.engine)
+          trans = Some((oe, watermark, Long.MaxValue))
+        } else if (policyFree)
+          // no previous-plan spec available: migrate by leaf-event replay —
           // the reference's trivial tree swap (graft.cep.Adaptive)
-          engine = Adaptive.migrate(eng, compiled)
+          engine = Adaptive.migrate(d.engine, compiled)
         else {
           // policy patterns cannot migrate (replay bypasses freeze admission and
           // double-consumes single/next budgets): drop this key's engine state instead
@@ -118,13 +156,12 @@ object StreamEvaluator {
               s"pattern: dropping per-key engine state (partial matches lost; reorder-buffer " +
               s"events kept). Restart policy patterns from a fresh checkpoint to avoid this.")
         }
-        pend
+        d.pending
       case None => Vector.empty
     }
     Prof.readNs.addAndGet(System.nanoTime() - t0)
 
     Prof.rowsIn.addAndGet(incoming.length)
-    val watermark = watermarkMs * 1000L // ms -> micros
     val all = (prevPending ++ incoming).sortBy(e => (e.ts, e.idx))
     // feed only the watermark-complete prefix: events at ts >= watermark may still gain
     // earlier-or-tied siblings in later batches, so they wait in the reorder buffer
@@ -134,8 +171,32 @@ object StreamEvaluator {
 
     t0 = System.nanoTime()
     val out = Vector.newBuilder[CepMatch]
-    ready.foreach(e => out ++= engine.feed(e))
-    out ++= engine.advance(watermark)
+    trans match {
+      case Some((oldEng, startWm, firstFed0)) =>
+        val firstFed =
+          if (firstFed0 != Long.MaxValue) firstFed0
+          else ready.headOption.map(_.ts).getOrElse(Long.MaxValue)
+        ready.foreach { e => out ++= oldEng.feed(e); engine.feed(e) } // new engine: silent
+        out ++= oldEng.advance(watermark); engine.advance(watermark)
+        oldEng.pruneExpired(watermark)
+        val maxSeen = ready.lastOption.map(_.ts).getOrElse(Long.MinValue)
+        val bound = if (firstFed != Long.MaxValue) firstFed else startWm
+        if (math.max(maxSeen, watermark) > bound + maxWindow) {
+          // retire: hand over the old tree's parked (unbounded-negation) matches that the
+          // new tree cannot know — those whose first event predates anything it saw. The
+          // reference flushes ALL pending at handover (SimultaneousTree...py:61-66 +
+          // Tree.get_last_matches); filtering at firstFedTs additionally prevents
+          // double-emission of parked matches the new tree holds a copy of. Safe to flush
+          // now: such a match's events all predate firstFed + window < watermark, so an
+          // invalidating negative (window-bounded like every match member,
+          // /root/reference/tree/nodes/Node.py:187-193) can no longer arrive.
+          out ++= oldEng.finish().filter(_.firstTs < firstFed)
+          trans = None
+        } else trans = Some((oldEng, startWm, firstFed))
+      case None =>
+        ready.foreach(e => out ++= engine.feed(e))
+        out ++= engine.advance(watermark)
+    }
     Prof.feedNs.addAndGet(System.nanoTime() - t0)
 
     // bound state and wakeups: expired buffers can never combine with future events
@@ -144,12 +205,16 @@ object StreamEvaluator {
     t0 = System.nanoTime()
     engine.pruneExpired(watermark)
     val res =
-      if (hold.isEmpty && engine.isQuiescent) StepOut(out.result(), None, None)
+      if (hold.isEmpty && engine.isQuiescent && trans.isEmpty) StepOut(out.result(), None, None)
       else {
-        val bytes = StateCodec.write(fingerprint, hold, engine.snapshot())
+        val oldSection = trans.map { case (oe, startWm, firstFed) =>
+          StateCodec.OldPlan(oldFp.get, startWm, firstFed, oe.snapshot())
+        }
+        val bytes = StateCodec.write(fingerprint, hold, engine.snapshot(), oldSection)
         val wake =
-          if (hold.nonEmpty || engine.hasPending)
+          if (hold.nonEmpty || engine.hasPending || trans.isDefined)
             // wake on watermark advance to release held events / parked negation matches
+            // (and to drive a transition toward retirement even if no events arrive)
             watermarkMs + 1000L
           else
             // live buffers only matter when new data arrives, but if none ever does the
@@ -164,12 +229,13 @@ object StreamEvaluator {
   }
 
   private def processKey(compiled: IndexedSeq[CompiledPattern], maxWindowMs: Long,
-                         assumeOrdered: Boolean = false)(
+                         assumeOrdered: Boolean = false,
+                         oldCompiled: Option[IndexedSeq[CompiledPattern]] = None)(
       key: String,
       rows: Iterator[Ev],
       state: GroupState[Array[Byte]]): Iterator[CepMatch] = {
     val res = step(compiled, maxWindowMs, assumeOrdered, state.getOption, rows.toVector,
-      state.getCurrentWatermarkMs())
+      state.getCurrentWatermarkMs(), oldCompiled)
     res.state match {
       case Some(bytes) =>
         state.update(bytes)
@@ -190,10 +256,13 @@ object StreamEvaluator {
       patterns: Seq[Pattern],
       delay: String = "10 seconds",
       assumeOrdered: Boolean = false,
-      order: Orders.Strategy = Orders.Trivial): Dataset[CepMatch] = {
+      order: Orders.Strategy = Orders.Trivial,
+      previousOrder: Option[Orders.Strategy] = None): Dataset[CepMatch] = {
     val spark = events.sparkSession
     import spark.implicits._
     val compiled = patterns.flatMap(p => Compiler.compile(p, order)).toIndexedSeq
+    val oldCompiled = previousOrder.map(po =>
+      patterns.flatMap(p => Compiler.compile(p, po)).toIndexedSeq)
     val types = compiled.flatMap(_.relevantTypes).distinct
     val maxWindowMs = compiled.map(_.windowMicros).max / 1000L
     events
@@ -202,7 +271,8 @@ object StreamEvaluator {
       .withWatermark("eventTime", delay)
       .as[Ev]
       .groupByKey(_.key)
-      .transformWithState(new CepStatefulProcessor(compiled, maxWindowMs, assumeOrdered),
+      .transformWithState(
+        new CepStatefulProcessor(compiled, maxWindowMs, assumeOrdered, oldCompiled),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }
@@ -212,7 +282,8 @@ object StreamEvaluator {
   * registerTimer accumulates otherwise, turning every historical wakeup into a spurious
   * key visit). */
 private[spark] class CepStatefulProcessor(compiled: IndexedSeq[CompiledPattern],
-                                          maxWindowMs: Long, assumeOrdered: Boolean)
+                                          maxWindowMs: Long, assumeOrdered: Boolean,
+                                          oldCompiled: Option[IndexedSeq[CompiledPattern]] = None)
     extends StatefulProcessor[String, Ev, CepMatch] {
   @transient private var st: ValueState[Array[Byte]] = _
 
@@ -221,7 +292,7 @@ private[spark] class CepStatefulProcessor(compiled: IndexedSeq[CompiledPattern],
 
   private def visit(rows: Iterator[Ev], watermarkMs: Long): Iterator[CepMatch] = {
     val res = StreamEvaluator.step(compiled, maxWindowMs, assumeOrdered,
-      if (st.exists()) Some(st.get()) else None, rows.toVector, watermarkMs)
+      if (st.exists()) Some(st.get()) else None, rows.toVector, watermarkMs, oldCompiled)
     val handle = getHandle
     val existing = handle.listTimers().toList
     res.state match {

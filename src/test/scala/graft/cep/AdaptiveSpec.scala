@@ -43,9 +43,10 @@ class AdaptiveSpec extends AnyFunSuite {
     val eng1 = new MatchEngine(oldC)
     val pre = before.flatMap(eng1.feed)
     val bytes = StateCodec.write(Adaptive.fingerprint(oldC), Vector.empty, eng1.snapshot())
-    val (fp, _, st) = StateCodec.read(bytes)
-    assert(fp == Adaptive.fingerprint(oldC) && fp != Adaptive.fingerprint(newC))
-    val eng2 = Adaptive.migrate(st, newC)
+    val d = StateCodec.read(bytes)
+    assert(d.fp == Adaptive.fingerprint(oldC) && d.fp != Adaptive.fingerprint(newC))
+    assert(d.old.isEmpty)
+    val eng2 = Adaptive.migrate(d.engine, newC)
     val got = idxSets(pre ++ after.flatMap(eng2.feed) ++ eng2.finish())
     assert(got == idxSets(cepRun(p, events)))
     assert(got.nonEmpty)

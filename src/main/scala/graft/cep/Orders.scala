@@ -35,6 +35,10 @@ object Orders {
     * trees, unlike Greedy. */
   final case class DpLeftDeep(perWindowByType: Map[String, Double],
                               selByNames: Map[(String, String), Double] = Map.empty) extends Strategy
+  /** Explicit join tree over the positive-arg indices — the output form of the
+    * multi-pattern local-search merger ([[MultiPlan]]), which needs to force a SHARED
+    * bracket into several patterns' plans. */
+  final case class FixedTree(tree: JTree) extends Strategy
   /** Exact dynamic-programming BUSHY tree (reference DynamicProgrammingBushyTreeBuilder,
     * /root/reference/plan/BushyTreeBuilders.py:16-123): subset DP over all binary join
     * trees. For patterns with several selective CROSS-pairs (e.g. sel(A,B) and sel(C,D)
@@ -103,13 +107,16 @@ object Orders {
       chosen.toIndexedSeq
     case DpLeftDeep(pw, sel) =>
       dpLeftDeepOrder(posArgs, pw, sel)
-    case DpBushy(_, _) =>
-      throw new IllegalArgumentException("DpBushy produces a tree, not an order — use resolveTree")
+    case DpBushy(_, _) | FixedTree(_) =>
+      throw new IllegalArgumentException("tree-shaped strategy has no flat order — use resolveTree")
   }
 
   /** Resolve a strategy to a join TREE. Permutation strategies become the left spine over
     * their order; DP strategies run the subset DP. */
   def resolveTree(strategy: Strategy, posArgs: List[PStruct]): JTree = strategy match {
+    case FixedTree(t) =>
+      require(t.indices.sorted == posArgs.indices.toList, s"tree $t is not a permutation")
+      t
     case DpBushy(pw, sel) => dpBushy(posArgs, pw, sel)
     case s =>
       val order = resolve(s, posArgs)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cep._
 import graft.cep.PStruct._
-import graft.cep.spark.{BatchEvaluator, Rip}
+import graft.cep.spark.{BatchEvaluator, HyperCube, Rip}
 import graft.io.EventsTable
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 
@@ -114,6 +114,22 @@ object Queries {
     BatchEvaluator.flat(ms, seq3Pattern)
       .select(col("key").cast("long").as("user_id"),
         col("v_idx").as("v_id"), col("c_idx").as("c_id"), col("b_idx").as("b_id"))
+  }
+
+  /** Same result as cepAnd2 but through the HYPERCUBE partitioner — the execution path
+    * for patterns with no usable partition key: here the user id's hash doubles as the
+    * cube attribute for both mapped types and a key-equality condition scopes matches
+    * back to one user, so the query shares and2's oracle and the driver independently
+    * validates face-union routing + min-cell owner dedup
+    * (/root/reference/parallel/data_parallel/HyperCubeParallelExecutionAlgorithm.py:54-113). */
+  def cepHyperAnd2(s: SparkSession, dir: String): DataFrame = {
+    val keyed = and2Pattern.copy(condition = CBinary("e", "b", (x, y) => x.key == y.key))
+    val keyHash: Ev => Long = e => e.key.hashCode.toLong & 0x7fffffffL
+    val ms = HyperCube.evaluate(EventsTable.load(s, dir), Seq(keyed),
+      attributes = Map("error" -> Seq(keyHash), "purchase" -> Seq(keyHash)), units = 32)
+    BatchEvaluator.flat(ms, keyed)
+      .select(col("key").cast("long").as("user_id"),
+        col("e_idx").as("e_id"), col("b_idx").as("b_id"))
   }
 
   // ---- relational / window engine smoke ----------------------------------------------

@@ -23,6 +23,7 @@ object SparkEntry {
     "cep_auto_seq3" -> (Queries.cepAutoSeq3 _),
     "cep_or" -> (Queries.cepOr _),
     "cep_contig" -> (Queries.cepContig _),
+    "cep_hyper_and2" -> (Queries.cepHyperAnd2 _),
     // relational / window smoke (§2.2, §2.5)
     "q1_agg" -> (Queries.q1Agg _),
     "q_join_nation" -> (Queries.qJoinNation _),
@@ -204,6 +205,13 @@ object SparkEntry {
         |      AND e.ts >= s.ts
         |      AND (e.ts < b.ts OR (e.ts = b.ts AND e.event_id < b.event_id)))""".stripMargin,
     "cep_and2" ->
+      """SELECT e.user_id AS user_id, e.event_id AS e_id, b.event_id AS b_id
+        |FROM events e JOIN events b ON e.user_id = b.user_id
+        |WHERE e.event_type = 'error' AND b.event_type = 'purchase'
+        |  AND abs(epoch_us(e.ts) - epoch_us(b.ts)) <= 3600000000""".stripMargin,
+    // HyperCube path: same per-user AND semantics (key-equality condition scopes the
+    // key-agnostic cube run back to one user) -> shares and2's oracle verbatim
+    "cep_hyper_and2" ->
       """SELECT e.user_id AS user_id, e.event_id AS e_id, b.event_id AS b_id
         |FROM events e JOIN events b ON e.user_id = b.user_id
         |WHERE e.event_type = 'error' AND b.event_type = 'purchase'

@@ -195,6 +195,10 @@ object Queries {
   def fingerprint(s: SparkSession, dir: String): DataFrame = TextOps.fingerprint(s, dir)
   def cosineTop1(s: SparkSession, dir: String): DataFrame = Similarity.bruteTop1(s, dir)
   def cosineLsh(s: SparkSession, dir: String): DataFrame = Similarity.lshTop1(s, dir)
+  // threshold 0.35 = the top ~0.1% of pairwise cosines on the synthetic embeddings
+  // (which contain no true near-dups — max pairwise cosine ~0.51); the oracle
+  // replicates the sketch bit-for-bit so the cut is exact, not recall-bounded
+  def embedDup(s: SparkSession, dir: String): DataFrame = Similarity.embedDup(s, dir)
   def mediaMeta(s: SparkSession, dir: String): DataFrame = Multimodal.mediaMeta(s, dir)
   def mediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaFeatures(s, dir).drop("features") // arrays of float are JVM-side only

@@ -41,10 +41,45 @@ object SparkEntry {
     "t_fingerprint" -> (Queries.fingerprint _),
     "s_cosine_top1" -> (Queries.cosineTop1 _),
     "s_cosine_lsh" -> (Queries.cosineLsh _),
+    "d_embed_dup" -> (Queries.embedDup _),
     // multimodal plumbing (binary payload + typed metadata; stubbed decode)
     "m_media_meta" -> (Queries.mediaMeta _),
     "m_media_features" -> (Queries.mediaFeatures _),
     "m_frame_sample" -> (Queries.frameSample _))
+
+  /** Random-hyperplane sketch CTEs shared by the s_cosine_lsh and d_embed_dup oracles:
+    * murmur-style (plane, dim) mix in mod-2^64 HUGEINT arithmetic, signed-value /
+    * Long.MaxValue plane components, sign-bit buckets per 4-plane table. */
+  private val lshSketchCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings),
+      |pc AS (
+      |  SELECT p, d,
+      |    ((11400714819323198485::HUGEINT * p + 14029467366897019727::HUGEINT * d)
+      |      % 18446744073709551616)::UBIGINT AS h0
+      |  FROM range(0, 16) t(p), range(0, 64) u(d)),
+      |pc2 AS (SELECT p, d, xor(h0, h0 >> 33) AS h1 FROM pc),
+      |pc3 AS (SELECT p, d,
+      |    ((((18397679294719823053::HUGEINT * (h1 >> 32)::HUGEINT) % 4294967296) * 4294967296
+      |      + 18397679294719823053::HUGEINT * (h1 & 4294967295)::HUGEINT)
+      |      % 18446744073709551616)::UBIGINT AS h2
+      |  FROM pc2),
+      |pc4 AS (SELECT p, d, xor(h2, h2 >> 33) AS h3 FROM pc3),
+      |planes AS (
+      |  SELECT p, list(
+      |    (CASE WHEN h3 >= 9223372036854775808::UBIGINT
+      |          THEN h3::HUGEINT - 18446744073709551616 ELSE h3::HUGEINT END)::DOUBLE
+      |      / 9223372036854775807 ORDER BY d) AS pl
+      |  FROM pc4 GROUP BY p),
+      |proj AS (
+      |  SELECT e.vec_id, planes.p, list_dot_product(e.v, planes.pl) AS dp
+      |  FROM e, planes),
+      |buckets AS (
+      |  SELECT vec_id, p // 4 AS t,
+      |    sum(CASE WHEN dp >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY vec_id, p // 4)""".stripMargin
 
   /** DuckDB oracles — one per query. The hash-signature ops (d_minhash, d_simhash)
     * replicate the engine's FNV-1a / affine-lane arithmetic in SQL via HUGEINT
@@ -337,35 +372,8 @@ object SparkEntry {
       // components, sign-bit buckets per 4-plane table, candidate pairs sharing any
       // table bucket, cosine top-1. Double math agrees bit-for-bit with the codegen'd
       // dot_product (both accumulate left-to-right in binary64).
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-        |  FROM embeddings),
-        |pc AS (
-        |  SELECT p, d,
-        |    ((11400714819323198485::HUGEINT * p + 14029467366897019727::HUGEINT * d)
-        |      % 18446744073709551616)::UBIGINT AS h0
-        |  FROM range(0, 16) t(p), range(0, 64) u(d)),
-        |pc2 AS (SELECT p, d, xor(h0, h0 >> 33) AS h1 FROM pc),
-        |pc3 AS (SELECT p, d,
-        |    ((((18397679294719823053::HUGEINT * (h1 >> 32)::HUGEINT) % 4294967296) * 4294967296
-        |      + 18397679294719823053::HUGEINT * (h1 & 4294967295)::HUGEINT)
-        |      % 18446744073709551616)::UBIGINT AS h2
-        |  FROM pc2),
-        |pc4 AS (SELECT p, d, xor(h2, h2 >> 33) AS h3 FROM pc3),
-        |planes AS (
-        |  SELECT p, list(
-        |    (CASE WHEN h3 >= 9223372036854775808::UBIGINT
-        |          THEN h3::HUGEINT - 18446744073709551616 ELSE h3::HUGEINT END)::DOUBLE
-        |      / 9223372036854775807 ORDER BY d) AS pl
-        |  FROM pc4 GROUP BY p),
-        |proj AS (
-        |  SELECT e.vec_id, planes.p, list_dot_product(e.v, planes.pl) AS dp
-        |  FROM e, planes),
-        |buckets AS (
-        |  SELECT vec_id, p // 4 AS t,
-        |    sum(CASE WHEN dp >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS bucket
-        |  FROM proj GROUP BY vec_id, p // 4),
+      (lshSketchCtes +
+      """,
         |cands AS (
         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id
         |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
@@ -378,7 +386,19 @@ object SparkEntry {
         |  SELECT vec_id, nn_id,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk
         |  FROM sims)
-        |SELECT vec_id, nn_id FROM r WHERE rk = 1""".stripMargin,
+        |SELECT vec_id, nn_id FROM r WHERE rk = 1""".stripMargin),
+    // embedding-cosine near-dup pairs: same sketch CTEs; unordered (a < b) bucket-join
+    // candidates verified against the exact cosine threshold (0.35 = the Spark query's)
+    "d_embed_dup" ->
+      (lshSketchCtes +
+        """,
+          |cands AS (
+          |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+          |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+          |    AND a.vec_id < b.vec_id)
+          |SELECT c.vec_id_a, c.vec_id_b
+          |FROM cands c JOIN e ea ON ea.vec_id = c.vec_id_a JOIN e eb ON eb.vec_id = c.vec_id_b
+          |WHERE list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) >= 0.35""".stripMargin),
     "s_cosine_top1" ->
       """WITH s AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

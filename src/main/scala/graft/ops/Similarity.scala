@@ -66,19 +66,25 @@ object Similarity {
   def lshTop1(spark: SparkSession, sfDir: String, nTables: Int = 4, planesPerTable: Int = 4): DataFrame =
     lshTop1(emb(spark, sfDir), nTables, planesPerTable)
 
-  def lshTop1(vectors: DataFrame, nTables: Int, planesPerTable: Int): DataFrame = {
-    VectorFunctions.register(vectors.sparkSession)
+  /** Explode each vector into its (table, bucket) LSH rows — shared by [[lshTop1]] and
+    * [[embedDupPairs]]. Plane projection via the codegen'd dot_product against a literal
+    * plane vector — inlining 64 element_at terms per plane overflows janino's
+    * method-size limit. */
+  private def lshTables(vectors: DataFrame, nTables: Int, planesPerTable: Int): DataFrame = {
     val e = withNorm(vectors)
-    // plane projection via the codegen'd dot_product against a literal plane vector —
-    // inlining 64 element_at terms per plane overflows janino's method-size limit
     def bucketCol(table: Int) = (0 until planesPerTable).map { j =>
       val p = table * planesPerTable + j
       val plane = typedLit((0 until 64).map(d => planeComponent(p, d)))
       when(dot(col("v"), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val tables = e.select(col("vec_id"), col("v"), col("norm"),
+    e.select(col("vec_id"), col("v"), col("norm"),
       explode(array((0 until nTables).map(t => struct(lit(t).as("t"), bucketCol(t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("norm"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
+
+  def lshTop1(vectors: DataFrame, nTables: Int, planesPerTable: Int): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val tables = lshTables(vectors, nTables, planesPerTable)
     val cands = tables.as("a").join(tables.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -89,5 +95,30 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
     cands.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("vec_id"), col("nn_id"))
+  }
+
+  def embedDup(spark: SparkSession, sfDir: String, nTables: Int = 4, planesPerTable: Int = 4,
+               threshold: Double = 0.35): DataFrame =
+    embedDupPairs(emb(spark, sfDir), nTables, planesPerTable, threshold)
+
+  /** Embedding-cosine NEAR-DUPLICATE pairs — the dedup-flavored variant of [[lshTop1]]:
+    * unordered (a < b) pairs that share a bucket in ANY LSH table and whose exact cosine
+    * clears `threshold`. Candidate generation is the linear-shuffle bucket join; the
+    * verify step computes cosine only on survivors — the same candidates-then-verify
+    * shape as MinHash LSH dedup, over embeddings instead of shingles. Recall is traded
+    * via table count; precision is exact (every emitted pair passed the real cosine). */
+  def embedDupPairs(vectors: DataFrame, nTables: Int, planesPerTable: Int,
+                    threshold: Double): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val tables = lshTables(vectors, nTables, planesPerTable)
+    tables.as("a").join(tables.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("vec_id_a", "vec_id_b")
+      .select(col("vec_id_a"), col("vec_id_b"))
   }
 }

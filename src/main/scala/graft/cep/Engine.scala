@@ -65,7 +65,21 @@ final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0,
   private var epoch = 0L
 
   /** Feed one event (in (ts, idx) order); returns matches completed by this event. */
-  def feed(e: Ev): Seq[CepMatch] = {
+  def feed(e: Ev): Seq[CepMatch] = { dispatch(e); drain() }
+
+  /** Allocation-free feed: completed matches go straight to `f` from the internal buffer
+    * (no per-event Seq materialization — the hot path for batch/salted runs emitting
+    * millions of matches). */
+  def feedEach(e: Ev)(f: CepMatch => Unit): Unit = {
+    dispatch(e)
+    if (out.nonEmpty) {
+      var i = 0
+      while (i < out.length) { f(out(i)); i += 1 }
+      out.clear()
+    }
+  }
+
+  private def dispatch(e: Ev): Unit = {
     tmpl.byType.get(e.etype).foreach { entries =>
       epoch += 1
       var last = -1
@@ -80,7 +94,6 @@ final class MatchEngine(patterns: IndexedSeq[CompiledPattern], shedCap: Int = 0,
         i += 1
       }
     }
-    drain()
   }
 
   /** Event-time advance: release pending unbounded-negation matches whose window has

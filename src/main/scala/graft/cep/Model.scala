@@ -49,8 +49,11 @@ final case class Ev(
  * exact whenever idx is the per-key arrival serial (transcripts' turn_idx; test streams).
  */
 final case class Bind(slot: Int, name: String, evs: List[Ev], aggId: Long = -1L) {
-  def minTs: Long = evs.head.ts
-  def maxTs: Long = evs.last.ts
+  // cached: probed on every window/SEQ-order check of every candidate pair, and
+  // `evs.last` walks the list (encoders/codec rebuild via the constructor, so the
+  // cache always exists after deserialization)
+  val minTs: Long = evs.head.ts
+  val maxTs: Long = evs.last.ts
   def isKC: Boolean = aggId >= 0
 }
 

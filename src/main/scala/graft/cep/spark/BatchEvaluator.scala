@@ -58,6 +58,7 @@ object BatchEvaluator {
           private var curKey: String = null
           private var engine: MatchEngine = null
           private val buf = scala.collection.mutable.Queue.empty[CepMatch]
+          private val sink = (m: CepMatch) => { buf += m; () }
           private def refill(): Unit = {
             while (buf.isEmpty && rows.hasNext) {
               val r = rows.next()
@@ -67,7 +68,7 @@ object BatchEvaluator {
                 curKey = k
                 engine = new MatchEngine(compiled, sortedStorage = sortedStorage)
               }
-              buf ++= engine.feed(rowToEv(r))
+              engine.feedEach(rowToEv(r))(sink)
             }
             if (buf.isEmpty && engine != null) { buf ++= engine.finish(); engine = null }
           }

@@ -138,13 +138,14 @@ object Rip {
         new Iterator[CepMatch] {
           private var curKey: String = null
           private var curPane: Long = 0L
+          private var lo = 0L
+          private var hi = 0L
           private var engine: MatchEngine = null
           private val buf = scala.collection.mutable.Queue.empty[CepMatch]
-          private def owned(ms: Iterable[CepMatch]): Unit = {
-            val lo = curPane * paneMicros
-            val hi = lo + paneMicros
+          private val ownSink = (m: CepMatch) =>
+            if (m.firstTs >= lo && m.firstTs < hi) { buf += m; () }
+          private def owned(ms: Iterable[CepMatch]): Unit =
             ms.foreach(m => if (m.firstTs >= lo && m.firstTs < hi) buf += m)
-          }
           private def refill(): Unit = {
             while (buf.isEmpty && rows.hasNext) {
               val r = rows.next()
@@ -153,9 +154,10 @@ object Rip {
               if (k != curKey || pn != curPane || engine == null) {
                 if (engine != null) owned(engine.finish())
                 curKey = k; curPane = pn
+                lo = pn * paneMicros; hi = lo + paneMicros
                 engine = new MatchEngine(compiled)
               }
-              owned(engine.feed(BatchEvaluator.rowToEv(r)))
+              engine.feedEach(BatchEvaluator.rowToEv(r))(ownSink)
             }
             if (buf.isEmpty && engine != null) { owned(engine.finish()); engine = null }
           }

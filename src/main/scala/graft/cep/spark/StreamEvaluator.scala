@@ -176,7 +176,9 @@ object StreamEvaluator {
         val firstFed =
           if (firstFed0 != Long.MaxValue) firstFed0
           else ready.headOption.map(_.ts).getOrElse(Long.MaxValue)
-        ready.foreach { e => out ++= oldEng.feed(e); engine.feed(e) } // new engine: silent
+        val sink = (m: CepMatch) => { out += m; () }
+        val discard = (_: CepMatch) => ()
+        ready.foreach { e => oldEng.feedEach(e)(sink); engine.feedEach(e)(discard) }
         out ++= oldEng.advance(watermark); engine.advance(watermark)
         oldEng.pruneExpired(watermark)
         val maxSeen = ready.lastOption.map(_.ts).getOrElse(Long.MinValue)
@@ -194,7 +196,8 @@ object StreamEvaluator {
           trans = None
         } else trans = Some((oldEng, startWm, firstFed))
       case None =>
-        ready.foreach(e => out ++= engine.feed(e))
+        val sink = (m: CepMatch) => { out += m; () }
+        ready.foreach(e => engine.feedEach(e)(sink))
         out ++= engine.advance(watermark)
     }
     Prof.feedNs.addAndGet(System.nanoTime() - t0)

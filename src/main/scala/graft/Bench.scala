@@ -212,6 +212,58 @@ object Bench {
       "cep_order4_greedy" -> micro.map(_._7._2).min,
       "cep_order4_bushy" -> micro.map(_._8._2).min)
 
+    // --- part 1c: pure-ENGINE thread scaling (no Spark row encode / shuffle) -------------
+    // Attribution measurement for the Spark-level scaling series: N independent threads
+    // each run the in-process MatchEngine over their own key slice of a shared in-memory
+    // corpus — the work an executor core does, minus Spark's match encoding and shuffle.
+    // If this scales where the Spark pipeline doesn't, the gap is the single-socket
+    // memory system (encode/shuffle bandwidth), which a real cluster scales with its
+    // executors; if it didn't, the engine itself would be the bottleneck.
+    val engCompiled =
+      graft.cep.spark.SparkPatterns.heavy.flatMap(Compiler.compile).toIndexedSeq
+    val engGroups: Array[Array[Ev]] = {
+      val turns = graft.io.Transcripts.generate(nConvs = 40000, hotShare = 0.0)
+      turns.groupBy(_.conv_id).valuesIterator.map { ts =>
+        ts.sortBy(t => (t.ts.getTime, t.turn_idx)).map(t => Ev(
+          t.conv_id, t.turn_idx.toLong,
+          if (t.role == "user") "USER" else if (t.tool != null) "TOOL"
+          else if (t.role == "assistant") "ASSISTANT" else "SYSTEM",
+          t.ts.getTime * 1000L, t.text.length.toDouble, null, null)).toArray
+      }.toArray
+    }
+    var engMatches = -1L
+    def engineThreads(nThreads: Int): Double = {
+      val total = new java.util.concurrent.atomic.AtomicLong
+      val t0 = System.nanoTime()
+      val threads = (0 until nThreads).map { t =>
+        val th = new Thread(() => {
+          var m = 0L
+          var i = t
+          while (i < engGroups.length) {
+            val eng = new graft.cep.MatchEngine(engCompiled)
+            val evs = engGroups(i)
+            var j = 0
+            while (j < evs.length) { m += eng.feed(evs(j)).size; j += 1 }
+            m += eng.finish().size
+            i += nThreads
+          }
+          total.addAndGet(m)
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (engMatches < 0) engMatches = total.get()
+      else require(total.get() == engMatches, "engine thread-scaling match count drifted")
+      dt
+    }
+    engineThreads(32) // JIT warmup
+    val engRuns = (1 to 3).map(_ => (engineThreads(2), engineThreads(8), engineThreads(32)))
+    val engT = (engRuns.map(_._1).min, engRuns.map(_._2).min, engRuns.map(_._3).min)
+    val engN = engGroups.iterator.map(_.length.toLong).sum
+    val engEff2to8 = engT._1 / engT._2 / 4.0
+    val engEff8to32 = engT._2 / engT._3 / 4.0
+
     // --- part 2+: forked CEP measurements -------------------------------------------------
     // Each measurement runs in a FRESH forked JVM (same-JVM session sequences distort
     // local[n] timings by up to 20x via accumulated heap/GC state); parent repetitions are
@@ -228,7 +280,8 @@ object Bench {
       } finally f.close()
     }
 
-    def forkLevel(cores: Int, corpus: String, mode: String, reps: Int): LevelResult = {
+    def forkLevel(cores: Int, corpus: String, mode: String, reps: Int,
+                  patternSet: String = "base"): LevelResult = {
       val java = s"${System.getProperty("java.home")}/bin/java"
       val opens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
@@ -239,7 +292,7 @@ object Bench {
       val cmd = Seq(java) ++ opens ++ Seq(
         "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", System.getProperty("java.class.path"),
-        "graft.BenchLevel", cores.toString, corpus, mode, reps.toString)
+        "graft.BenchLevel", cores.toString, corpus, mode, reps.toString, patternSet)
       val out = new StringBuilder
       val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
       val src = scala.io.Source.fromInputStream(proc.getInputStream)
@@ -267,7 +320,7 @@ object Bench {
     // Higher core counts warm slower (fewer iterations per thread) — give them more reps.
     def inForkReps(cores: Int): Int = if (cores >= 32) 5 else 3
     val runs = scala.collection.mutable.Map.empty[Int, List[LevelResult]].withDefaultValue(Nil)
-    levels.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", inForkReps(c)) :: runs(c))
+    levels.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", inForkReps(c), "heavy") :: runs(c))
     // The HEADLINE N->4N pair is 2 -> 8 (row processing on this single-socket VM is
     // memory-bandwidth-bound beyond ~8-16 threads — pure-CPU scaling reaches 32 procs at
     // ~0.8, so the 8 -> 32 ratio measures the box's memory channels, not the engine; a
@@ -276,7 +329,7 @@ object Bench {
     (2 to parentReps).foreach { r =>
       if (withinBudget) {
         val lv = if (r <= 2) levels else Seq(2, 8)
-        lv.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", inForkReps(c)) :: runs(c))
+        lv.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", inForkReps(c), "heavy") :: runs(c))
       }
     }
     // cliff-skew demo: 80% of turns in ONE conversation — plain serializes on the hot
@@ -325,6 +378,9 @@ object Bench {
         s""""cep_throughput_2":${thr(2).toLong},"cep_throughput_8":${thr(8).toLong},""" +
         s""""cep_throughput_32":${thr(32).toLong},""" +
         f""""scaling_efficiency_n_to_4n":$eff2to8%.3f,"scaling_efficiency_8_to_32":$eff8to32%.3f,""" +
+        f""""engine_turns":$engN,"engine_sec_2":${engT._1}%.3f,"engine_sec_8":${engT._2}%.3f,""" +
+        f""""engine_sec_32":${engT._3}%.3f,""" +
+        f""""engine_eff_2_to_8":$engEff2to8%.3f,"engine_eff_8_to_32":$engEff8to32%.3f,""" +
         s""""skew_turns":${skew.n},"skew_plain_sec":${skew.plain},"skew_salted_sec":${skew.salted},""" +
         s""""skew_auto_sec":${skew.auto}$mixJson,""" +
         f""""host_cpu_steal_pct":$stealPct%.1f,"wall_sec":$elapsed%.0f}"""

@@ -661,9 +661,14 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
         if (plan == null) bufs(otherId).toArray // copy: combinations may recursively add
         else probeRange(bufs(otherId), pm, plan, fromLeft = fromId == b.left.id)
       candidates.foreach { opm =>
-        val merged = mergeBinds(pm.binds, opm.binds)
-        if (valid(parId, b.isSeq, merged))
-          propagate(parId, PM(merged, Joint.prob(pm.prob, opm.prob)), skipPark = false)
+        // O(1) window prescreen on the cached PM bounds: skips the merge allocation for
+        // the (majority of) candidate pairs the window alone rejects; `valid` re-checks
+        val span = math.max(pm.lastTs, opm.lastTs) - math.min(pm.firstTs, opm.firstTs)
+        if (span <= windowMicros) {
+          val merged = mergeBinds(pm.binds, opm.binds)
+          if (valid(parId, b.isSeq, merged))
+            propagate(parId, PM(merged, Joint.prob(pm.prob, opm.prob)), skipPark = false)
+        }
       }
     case k: KCSpec =>
       expire(k.child.id, pm.lastTs)
@@ -694,10 +699,13 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
         var i = 0
         while (i < negBuf.length && !invalidated) {
           val npm = negBuf(i)
-          val merged = mergeBinds(pm.binds, npm.binds)
-          if (valid(parId, ng.isSeq, merged)) {
-            if (npm.prob >= 0) prob = Joint.prob(prob, 1 - npm.prob)
-            else invalidated = true
+          // same O(1) window prescreen as the join loop before paying the merge
+          if (math.max(pm.lastTs, npm.lastTs) - math.min(pm.firstTs, npm.firstTs) <= windowMicros) {
+            val merged = mergeBinds(pm.binds, npm.binds)
+            if (valid(parId, ng.isSeq, merged)) {
+              if (npm.prob >= 0) prob = Joint.prob(prob, 1 - npm.prob)
+              else invalidated = true
+            }
           }
           i += 1
         }

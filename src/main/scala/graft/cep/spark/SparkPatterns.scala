@@ -19,4 +19,26 @@ object SparkPatterns {
   /** SEQ(USER u, KC(TOOL t)[1..3]) WITHIN 5 min — tool-call bursts after a user turn. */
   val kleene: Pattern = Pattern(
     SEQ(P("USER", "u"), KC(P("TOOL", "t"), min = 1, max = 3)), CTrue, 5 * MIN)
+
+  /** The three patterns above — the parity-era bench workload. */
+  val base: Seq[Pattern] =
+    Seq(flagship.copy(id = 0), negation.copy(id = 1), kleene.copy(id = 2))
+
+  /** Selective secondary patterns for the multi-pattern scaling workload: real CEP
+    * deployments run MANY patterns over one stream, and these skew the per-turn cost
+    * toward matching CPU (probe + condition evaluation) rather than match-output bytes —
+    * equal-length echoes, off-by-one lengths, strictly-lengthening user triples. */
+  val heavyExtras: Seq[Pattern] = Seq(
+    Pattern(SEQ(P("USER", "u"), P("ASSISTANT", "a")),
+      CBinary("u", "a", (x, y) => x.num == y.num), 10 * MIN, id = 3),
+    Pattern(AND(P("USER", "u"), P("ASSISTANT", "a")),
+      CBinary("u", "a", (x, y) => x.num + 1 == y.num), 10 * MIN, id = 4),
+    Pattern(SEQ(P("USER", "u1"), P("USER", "u2"), P("USER", "u3")),
+      Cond.all(CBinary("u1", "u2", (x, y) => y.num > x.num),
+        CBinary("u2", "u3", (x, y) => y.num > x.num)), 15 * MIN, id = 5),
+    Pattern(SEQ(P("SYSTEM", "s"), P("ASSISTANT", "a")),
+      CBinary("s", "a", (x, y) => x.num == y.num), 10 * MIN, id = 6))
+
+  /** base ++ heavyExtras — the scaling-series workload (7 jointly-evaluated patterns). */
+  val heavy: Seq[Pattern] = base ++ heavyExtras
 }

@@ -106,22 +106,50 @@ object HyperCube {
     val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
     val types = compiled.flatMap(_.relevantTypes).distinct
 
+    // Cell routing needs the user-supplied attribute extractors (arbitrary closures), so
+    // the replication step stays a typed flatMap; the SHUFFLE and per-cell evaluation are
+    // row-based like BatchEvaluator/Rip — Tungsten-sorted rows streamed through the
+    // engine at unit boundaries, events materialized once on the reduce side.
     events
       .filter(col("etype").isin(types: _*))
       .flatMap(e => cube.cells(e).iterator.map(u => (u, e)))
-      .groupByKey(_._1)
-      .flatMapGroups { (unit: Int, it: Iterator[(Int, Ev)]) =>
-        val evs = it.map(_._2).toArray
-        java.util.Arrays.sort(evs, Ordering.by((e: Ev) => (e.ts, e.idx)))
-        val engine = new MatchEngine(compiled)
-        val out = Vector.newBuilder[CepMatch]
-        evs.foreach(e => out ++= engine.feed(e))
-        out ++= engine.finish()
-        // owner rule: keep only matches whose members' cell-set intersection has this
-        // unit as its minimum (reference skip_item)
-        out.result().iterator.filter { m =>
-          val memberCells = m.binds.iterator.flatMap(_.evs).map(cube.cells)
-          memberCells.reduce(_ intersect _).min == unit
+      .toDF()
+      .select((col("_1").as("unit") +: BatchEvaluator.EvCols.map(c => col(s"_2.$c"))): _*)
+      .repartition(col("unit"))
+      .sortWithinPartitions("unit", "ts", "idx")
+      .mapPartitions { rows =>
+        new Iterator[CepMatch] {
+          private var curUnit = Int.MinValue
+          private var engine: MatchEngine = null
+          private val buf = scala.collection.mutable.Queue.empty[CepMatch]
+          // owner rule: keep only matches whose members' cell-set intersection has this
+          // unit as its minimum (reference skip_item)
+          private val ownSink = (m: CepMatch) => {
+            val memberCells = m.binds.iterator.flatMap(_.evs).map(cube.cells)
+            if (memberCells.reduce(_ intersect _).min == curUnit) { buf += m; () }
+          }
+          private def rowToEv(r: org.apache.spark.sql.Row): Ev =
+            Ev(r.getString(1), r.getLong(2), r.getString(3), r.getLong(4), r.getDouble(5),
+              r.getString(6), r.getString(7), r.getDouble(8))
+          private def finishEngine(): Unit = {
+            engine.finish().foreach(ownSink)
+            engine = null
+          }
+          private def refill(): Unit = {
+            while (buf.isEmpty && rows.hasNext) {
+              val r = rows.next()
+              val u = r.getInt(0)
+              if (u != curUnit || engine == null) {
+                if (engine != null) finishEngine()
+                curUnit = u
+                engine = new MatchEngine(compiled)
+              }
+              engine.feedEach(rowToEv(r))(ownSink)
+            }
+            if (buf.isEmpty && engine != null) finishEngine()
+          }
+          def hasNext: Boolean = { refill(); buf.nonEmpty }
+          def next(): CepMatch = { refill(); buf.dequeue() }
         }
       }
   }

@@ -132,6 +132,26 @@ object Queries {
         col("e_idx").as("e_id"), col("b_idx").as("b_id"))
   }
 
+  /** SEQ(view v, click c) WITHIN 24h evaluated JOINTLY with seq3 under local-search
+    * MERGED plans ([[graft.cep.MultiPlan.localSearch]]): purchase is rare, so each
+    * pattern's individual optimum starts from it and never brackets (view, click) — only
+    * the sharing-aware search does, and the merged (v, c) subtree then buffers once for
+    * both patterns. Output = the 2-step pattern's matches (plans are output-invariant, so
+    * the simple SQL join oracles the whole merged-evaluation machinery). */
+  def cepMergedVc2(s: SparkSession, dir: String): DataFrame = {
+    val vc2 = Pattern(SEQ(P("view", "v"), P("click", "c")), CTrue, 24 * H, id = 1)
+    val pats = Seq(seq3Pattern.copy(id = 0), vc2)
+    val pw = Map("view" -> 40.0, "click" -> 40.0, "purchase" -> 5.0)
+    val strategies = MultiPlan.localSearch(pats, pw)
+    val compiled = pats.zip(strategies)
+      .flatMap { case (p, st) => Compiler.compile(p, st) }.toIndexedSeq
+    val ms = BatchEvaluator.evaluateCompiled(EventsTable.load(s, dir), compiled)
+      .filter(col("patternId") === 1)
+    BatchEvaluator.flat(ms, vc2)
+      .select(col("key").cast("long").as("user_id"),
+        col("v_idx").as("v_id"), col("c_idx").as("c_id"))
+  }
+
   // ---- relational / window engine smoke ----------------------------------------------
 
   def q1Agg(s: SparkSession, dir: String): DataFrame =

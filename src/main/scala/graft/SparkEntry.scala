@@ -24,6 +24,7 @@ object SparkEntry {
     "cep_or" -> (Queries.cepOr _),
     "cep_contig" -> (Queries.cepContig _),
     "cep_hyper_and2" -> (Queries.cepHyperAnd2 _),
+    "cep_merged_vc2" -> (Queries.cepMergedVc2 _),
     // relational / window smoke (§2.2, §2.5)
     "q1_agg" -> (Queries.q1Agg _),
     "q_join_nation" -> (Queries.qJoinNation _),
@@ -244,6 +245,13 @@ object SparkEntry {
         |FROM events e JOIN events b ON e.user_id = b.user_id
         |WHERE e.event_type = 'error' AND b.event_type = 'purchase'
         |  AND abs(epoch_us(e.ts) - epoch_us(b.ts)) <= 3600000000""".stripMargin,
+    // local-search MERGED joint evaluation: the 2-step prefix pattern evaluated in one
+    // pass with seq3 under MultiPlan plans; the simple join oracles the merged machinery
+    "cep_merged_vc2" ->
+      """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click' AND v.ts <= c.ts
+        |  AND epoch_us(c.ts) - epoch_us(v.ts) <= 86400000000""".stripMargin,
     // HyperCube path: same per-user AND semantics (key-equality condition scopes the
     // key-agnostic cube run back to one user) -> shares and2's oracle verbatim
     "cep_hyper_and2" ->

@@ -37,10 +37,15 @@ object BatchEvaluator {
     * `sortedStorage` enables binary-searched relop probes (output-invariant; off = the
     * reference's default full-scan probe, /root/reference/misc/DefaultConfig.py:34). */
   def evaluate(events: Dataset[Ev], patterns: Seq[Pattern],
-               sortedStorage: Boolean = false): Dataset[CepMatch] = {
+               sortedStorage: Boolean = false): Dataset[CepMatch] =
+    evaluateCompiled(events, patterns.flatMap(Compiler.compile).toIndexedSeq, sortedStorage)
+
+  /** Same plan over pre-compiled patterns — the entry point for per-pattern join-order
+    * strategies (e.g. [[graft.cep.MultiPlan.localSearch]]'s merged plans). */
+  def evaluateCompiled(events: Dataset[Ev], compiled: IndexedSeq[CompiledPattern],
+                       sortedStorage: Boolean = false): Dataset[CepMatch] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
     val types = compiled.flatMap(_.relevantTypes).distinct
     events
       .filter(col("etype").isin(types: _*))

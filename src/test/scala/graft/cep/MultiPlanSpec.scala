@@ -77,6 +77,22 @@ class MultiPlanSpec extends AnyFunSuite {
     assert(run(compiled) == want)
   }
 
+  test("driver query cep_merged_vc2's plans bracket and share the (view, click) prefix") {
+    val H = 3600L * 1000000L
+    val seq3 = Pattern(SEQ(P("view", "v"), P("click", "c"), P("purchase", "b")), CTrue, 24 * H, id = 0)
+    val vc2 = Pattern(SEQ(P("view", "v"), P("click", "c")), CTrue, 24 * H, id = 1)
+    val pw2 = Map("view" -> 40.0, "click" -> 40.0, "purchase" -> 5.0)
+    val strategies = MultiPlan.localSearch(Seq(seq3, vc2), pw2)
+    strategies.foreach {
+      case Orders.FixedTree(t) => assert(bracketsAB(t), s"(v,c) bracket missing in $t")
+      case other               => fail(s"expected FixedTree, got $other")
+    }
+    val compiled = Seq(seq3, vc2).zip(strategies)
+      .flatMap { case (p, s) => Compiler.compile(p, s) }.toIndexedSeq
+    assert(!MatchEngine.tablesFor(compiled).sharing.isEmpty,
+      "the merged (view, click) subtree must buffer once across both patterns")
+  }
+
   test("search leaves ineligible patterns on safe defaults") {
     val withPolicy = pat("C", "c", 0).copy(policy = Policy(single = Set("A")))
     val strategies = MultiPlan.localSearch(Seq(withPolicy, pat("D", "d", 1)), pw, sel)

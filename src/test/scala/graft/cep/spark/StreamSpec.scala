@@ -154,6 +154,99 @@ class StreamSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("SIMULTANEOUS swap across restart (previousOrder): multiset-equal to batch") {
+    import spark.implicits._
+    val turns = Transcripts.generate(nConvs = 10)
+    val evs = Transcripts.toEv(Transcripts.toDs(spark, turns)).collect().toSeq.sortBy(e => (e.ts, e.idx))
+    val maxTs = evs.map(_.ts).max
+    val dir = Files.createTempDirectory("cepsimul")
+    val srcDir = s"$dir/src"; val ckpt = s"$dir/ckpt"; val outDir = s"$dir/out"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val schema = spark.emptyDataset[Ev].schema
+    def writeSlice(slice: Seq[Ev], n: Int): Unit =
+      spark.createDataset(slice).repartition(1).write.parquet(s"$srcDir/batch$n")
+    val half = evs.length / 2
+    writeSlice(evs.take(half), 0)
+
+    def startQuery(order: Orders.Strategy, previous: Option[Orders.Strategy]) = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/batch*").as[Ev]
+      StreamEvaluator.evaluate(src, patterns, delay = "5 seconds", order = order,
+          previousOrder = previous)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+    val q1 = startQuery(Orders.Trivial, None)
+    q1.processAllAvailable(); q1.stop()
+    writeSlice(evs.drop(half), 1)
+    writeSlice(Seq(sentinel(maxTs)), 2)
+    writeSlice(Seq(sentinel(maxTs + 1)), 3)
+    // restart under a different order, declaring the old one: each key runs both engines
+    // for one window (old = sole emitter), then retires it — no replay, no loss, no dups
+    val q2 = startQuery(
+      Orders.AscendingRate(Map("USER" -> 5.0, "TOOL" -> 1.0, "ASSISTANT" -> 10.0)),
+      Some(Orders.Trivial))
+    q2.processAllAvailable(); q2.stop()
+
+    def multiset(ms: Seq[CepMatch]) =
+      ms.map(m => (m.key, m.patternId, m.binds.toList.sortBy(_.slot).map(b => (b.slot, b.evs.map(_.idx)))))
+        .sortBy(_.toString)
+    val got = multiset(dropSentinel(spark.read.parquet(outDir).as[CepMatch].collect().toSeq))
+    val want = multiset(dropSentinel(
+      BatchEvaluator.evaluate(Transcripts.toEv(Transcripts.toDs(spark, turns)), patterns).collect().toSeq))
+    assert(want.nonEmpty)
+    assert(got == want, "simultaneous swap must emit each match exactly once")
+  }
+
+  test("TWS checkpoint resume: kill and restart equals batch (RocksDB store)") {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val turns = Transcripts.generate(nConvs = 10)
+      val evs = Transcripts.toEv(Transcripts.toDs(spark, turns)).collect().toSeq.sortBy(e => (e.ts, e.idx))
+      val maxTs = evs.map(_.ts).max
+      val dir = Files.createTempDirectory("ceptwsresume")
+      val srcDir = s"$dir/src"; val ckpt = s"$dir/ckpt"; val outDir = s"$dir/out"
+      Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val schema = spark.emptyDataset[Ev].schema
+      def writeSlice(slice: Seq[Ev], n: Int): Unit =
+        spark.createDataset(slice).repartition(1).write.parquet(s"$srcDir/batch$n")
+      val half = evs.length / 2
+      writeSlice(evs.take(half), 0)
+      def startQuery() = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$srcDir/batch*").as[Ev]
+        StreamEvaluator.evaluateTws(src, patterns, delay = "5 seconds")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.ProcessingTime(0))
+          .start()
+      }
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      writeSlice(evs.drop(half), 1)
+      writeSlice(Seq(sentinel(maxTs)), 2)
+      writeSlice(Seq(sentinel(maxTs + 1)), 3)
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+      val got = canon(dropSentinel(spark.read.parquet(outDir).as[CepMatch].collect().toSeq))
+      val want = canon(dropSentinel(
+        BatchEvaluator.evaluate(Transcripts.toEv(Transcripts.toDs(spark, turns)), patterns).collect().toSeq))
+      assert(want.nonEmpty)
+      assert(got == want)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("checkpoint resume: kill and restart yields exactly the batch result (exactly-once sink)") {
     import spark.implicits._
     val turns = Transcripts.generate(nConvs = 10)

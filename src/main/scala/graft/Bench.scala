@@ -56,8 +56,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    // 540 s soft deadline: the worst post-deadline block (the always-run cliff fork) adds
+    // ~2 min, keeping worst-case wall ~12 min in bad weather (observed 876 s with 600)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC",
-      if (full) "100000" else "600").toInt
+      if (full) "100000" else "540").toInt
     var truncated = false
     /** Gate for optional (rep 2+ / mixed-skew) work: false once past the soft deadline. */
     def withinBudget: Boolean = {

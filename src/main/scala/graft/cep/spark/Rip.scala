@@ -9,22 +9,23 @@ import graft.cep._
  * (/root/reference/parallel/data_parallel/RIPParallelExecutionAlgorithm.py:11-70).
  *
  * A single hot key (one conversation holding a large share of the stream) would serialize
- * on one task under plain groupByKey. Here event time is sliced into panes of width
- * `paneMicros >= window`; each event is replicated to its own pane and the previous one, so
- * the task owning pane p sees every event in [p*W, (p+2)*W) — enough to build any match
- * whose first event falls in [p*W, (p+1)*W). A match is kept only by its owner pane
- * (the pane containing firstTs), mirroring the reference's owner-dedup rule
- * (/root/reference/parallel/data_parallel/RIPParallelExecutionAlgorithm.py:45-52), so each
- * match is emitted exactly once. Cost: 2x event replication; benefit: a hot key fans out
- * over ceil(timespan/W) tasks.
+ * on one task under plain keyed evaluation. Here event time is sliced into panes of width
+ * `paneMicros >= window`; a pane-(p-1)-owned match has firstTs < p*paneWidth and spans at
+ * most `window`, so only events in the FIRST `window` micros of pane p replicate to the
+ * previous pane — replication factor 1 + window/pane (1.17 at the bench's pane = 6x
+ * window), computed entirely in Catalyst (explode of a conditional pane array). A match
+ * is kept only by its owner pane (the pane containing firstTs), mirroring the reference's
+ * owner-dedup rule (RIPParallelExecutionAlgorithm.py:45-52), so each match is emitted
+ * exactly once; a hot key fans out over ceil(timespan/pane) tasks. The shuffle and
+ * per-pane evaluation are ROW-based like BatchEvaluator (hash-led Tungsten sort,
+ * streaming group walk, events materialized once).
  *
  * Negation coverage: a match's positives all lie in [firstTs, firstTs + W), but an
  * INVALIDATING NEGATIVE may lie up to `window` BEFORE firstTs when the pattern has a
  * negative that can precede its first positive (NOT at the start of a SEQ, or any NOT
  * under AND — the merged window check /root/reference/tree/nodes/Node.py:187-193 admits a
- * negative at firstTs - W). For such patterns each event is ALSO replicated to pane p+1,
- * so the owner pane q sees [(q-1)*W, (q+2)*W) — 3x replication, but only when the pattern
- * shape requires it.
+ * negative at firstTs - W). For such patterns, negative-TYPE events in the LAST `window`
+ * of a pane are ALSO replicated to pane p+1 — only when the pattern shape requires it.
  *
  * Restriction (same as the reference's RIP): MATCH_ANY only. single / freeze / next
  * consumption policies carry cross-pane state (root filtered-event sets, freezer

@@ -87,6 +87,24 @@ object Queries {
   def cepContig(s: SparkSession, dir: String): DataFrame =
     cepFlat(s, dir, contigPattern, sorted = false, "v_idx" -> "v_id", "b_idx" -> "b_id")
 
+  /** SEQ(KC(click)[2..3], purchase) WITHIN 6h with a KC INDEX condition: adjacent clicks
+    * of the closure (feed order) must have strictly ascending value — CKCIndex with
+    * useOffset=true, offset=1 (/root/reference/condition/KCCondition.py:52-152). The
+    * oracle extends cep_kleene's subset enumeration with the adjacent-value conditions
+    * (6h window: at 2h the ascending-value cut leaves zero rows at sf0.01 — a vacuous
+    * green; 6h yields rows at every SF while the subset space stays small). */
+  val kcCondPattern: Pattern = Pattern(
+    SEQ(KC(P("click", "k"), min = 2, max = 3), P("purchase", "b")),
+    CKCIndex("k", _.num, _ < _, useOffset = true, offset = 1), 6 * H)
+
+  def cepKcCond(s: SparkSession, dir: String): DataFrame = {
+    val ms = BatchEvaluator.evaluate(EventsTable.load(s, dir), Seq(kcCondPattern))
+    BatchEvaluator.flat(ms, kcCondPattern)
+      .select(col("key").cast("long").as("user_id"),
+        array_join(col("k_idxs").cast("array<string>"), ",").as("k_ids"),
+        col("b_idx").as("b_id"))
+  }
+
   def cepKleene(s: SparkSession, dir: String): DataFrame = {
     val ms = BatchEvaluator.evaluate(EventsTable.load(s, dir), Seq(kleenePattern))
     // k_ids is scalar-encoded (comma-joined, feed order) so the driver's row hasher can

@@ -19,6 +19,7 @@ object SparkEntry {
     "cep_seq_not" -> (Queries.cepSeqNot _),
     "cep_and2" -> (Queries.cepAnd2 _),
     "cep_kleene" -> (Queries.cepKleene _),
+    "cep_kc_cond" -> (Queries.cepKcCond _),
     "cep_salted_seq3" -> (Queries.cepSaltedSeq3 _),
     "cep_auto_seq3" -> (Queries.cepAutoSeq3 _),
     "cep_or" -> (Queries.cepOr _),
@@ -111,6 +112,32 @@ object SparkEntry {
         |  AND (k2.ts < k3.ts OR (k2.ts = k3.ts AND k2.event_id < k3.event_id))
         |  AND k3.ts <= b.ts AND epoch_us(b.ts) - epoch_us(k1.ts) <= 7200000000
         |  AND k3.event_id + 1 <> b.event_id""".stripMargin,
+    "cep_kc_cond" ->
+      // cep_kleene's subset semantics (feed-order members, aggId exclusion, inclusive
+      // window) + the KC offset-1 index condition: adjacent closure members ascending in
+      // value. Formulated over a MATERIALIZED valid-adjacent-pair CTE self-joined on the
+      // shared middle event: a size-3 subset qualifies iff both its adjacent pairs do, and
+      // the equality key (x.id2 = y.id1) keeps every join a hash join — the naive triple
+      // self-join made DuckDB pick piecewise merge joins on the value inequalities
+      // (~300 s at sf0.01 vs 0.03 s for this form).
+      """WITH k AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |p2 AS MATERIALIZED (
+        |  SELECT k1.user_id AS user_id, k1.event_id AS id1, k1.ts AS ts1,
+        |         k2.event_id AS id2, k2.ts AS ts2
+        |  FROM k k1 JOIN k k2 ON k1.user_id = k2.user_id
+        |  WHERE (k1.ts < k2.ts OR (k1.ts = k2.ts AND k1.event_id < k2.event_id))
+        |    AND k1.value < k2.value)
+        |SELECT p.user_id AS user_id, concat_ws(',', p.id1, p.id2) AS k_ids, b.event_id AS b_id
+        |FROM p2 p JOIN b ON p.user_id = b.user_id
+        |WHERE p.ts2 <= b.ts AND epoch_us(b.ts) - epoch_us(p.ts1) <= 21600000000
+        |  AND p.id2 + 1 <> b.event_id
+        |UNION ALL
+        |SELECT x.user_id, concat_ws(',', x.id1, x.id2, y.id2), b.event_id
+        |FROM p2 x JOIN p2 y ON x.user_id = y.user_id AND x.id2 = y.id1
+        |  JOIN b ON x.user_id = b.user_id
+        |WHERE y.ts2 <= b.ts AND epoch_us(b.ts) - epoch_us(x.ts1) <= 21600000000
+        |  AND y.id2 + 1 <> b.event_id""".stripMargin,
     "m_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id, greatest(1, octet_length(encode(text)) // 256) AS frames,

@@ -48,6 +48,33 @@ object Adaptive {
     eng
   }
 
+  /** Invariant-aware replan trigger (reference InvariantsAwareOptimizer,
+    * /root/reference/adaptive/optimizer/Optimizer.py:110-133, invariants from
+    * /root/reference/plan/invariant/Invariants.py:39-70): where [[DeviationAwareSelector]]
+    * fires on ANY sufficient statistic drift, this fires only when fresh statistics
+    * VIOLATE an invariant of the current greedy plan — i.e. some step's runner-up now
+    * beats the step's choice. Drift that provably cannot change the greedy choice
+    * sequence (however large) triggers no rebuild; a tiny drift that flips a choice
+    * does. Use with the swap machinery exactly like DeviationAwareSelector: when
+    * [[shouldReplan]] fires, restart the query with [[build]]'s fresh order (the
+    * in-flight SIMULTANEOUS swap or leaf-replay migration applies unchanged). */
+  final class InvariantAwareOptimizer(posArgs: List[PStruct]) extends Serializable {
+    private var inv: Orders.GreedyInvariants = _
+    private var order: IndexedSeq[Int] = _
+    def currentOrder: Option[IndexedSeq[Int]] = Option(order)
+    /** (Re)build the greedy order under fresh statistics, refreshing the invariants. */
+    def build(perWindowByType: Map[String, Double],
+              selByNames: Map[(String, String), Double] = Map.empty): IndexedSeq[Int] = {
+      val (o, i) = Orders.greedyWithInvariants(posArgs, perWindowByType, selByNames)
+      order = o; inv = i; o
+    }
+    /** True when no plan exists yet or the stored invariants are violated under the new
+      * statistics (reference Optimizer.should_optimize, Optimizer.py:120-121). */
+    def shouldReplan(perWindowByType: Map[String, Double],
+                     selByNames: Map[(String, String), Double] = Map.empty): Boolean =
+      inv == null || inv.violated(posArgs, perWindowByType, selByNames)
+  }
+
   /** Replan trigger (reference StatisticsDeviationAwareOptimizer): fire when any tracked
     * statistic drifts more than `threshold` (relative) from the value at the last plan
     * build. Driver-side, cheap, deterministic. */

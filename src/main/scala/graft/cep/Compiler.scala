@@ -109,11 +109,16 @@ object Compiler {
     * (/root/reference/transformation/PatternTransformer.py:64-115). */
   def compile(p: Pattern): IndexedSeq[CompiledPattern] = compile(p, Orders.Trivial)
 
-  /** Compile with a join-order strategy (SURVEY.md §4.1 "join reordering"): the left-deep
-    * tree combines the top-level positive args in the strategy's order while slots keep
-    * their pattern positions — outputs are order-invariant, intermediate buffer sizes are
-    * not. Trivial = the reference's parity default. */
-  def compile(p: Pattern, strategy: Orders.Strategy): IndexedSeq[CompiledPattern] = {
+  def compile(p: Pattern, strategy: Orders.Strategy): IndexedSeq[CompiledPattern] =
+    compile(p, strategy, Orders.NegNaive)
+
+  /** Compile with a join-order strategy (SURVEY.md §4.1 "join reordering") and a
+    * negative-stack strategy (§2.3 "statistic negation placement"): the left-deep tree
+    * combines the top-level positive args in the strategy's order while slots keep their
+    * pattern positions — outputs are order/stack-invariant, intermediate buffer sizes and
+    * per-event check costs are not. Trivial/NegNaive = the reference's parity defaults. */
+  def compile(p: Pattern, strategy: Orders.Strategy,
+              negStrategy: Orders.NegStrategy): IndexedSeq[CompiledPattern] = {
     val originalNames = p.structure.names.toSet
     val unknown = p.condition.conjuncts.flatMap(_.names).filterNot(originalNames)
     if (unknown.nonEmpty)
@@ -122,7 +127,7 @@ object Compiler {
     if (strategy != Orders.Trivial)
       require(p.policy.single.isEmpty && p.policy.next.isEmpty && p.policy.freeze.isEmpty,
         "non-trivial join order requires MATCH_ANY (policies observe node identity / emission order)")
-    expandOr(p.structure).map(s => compileOne(p, s, strategy)).toIndexedSeq
+    expandOr(p.structure).map(s => compileOne(p, s, strategy, negStrategy)).toIndexedSeq
   }
 
   /** Cartesian expansion of OR alternatives anywhere in the structure. */
@@ -139,7 +144,8 @@ object Compiler {
     ls.foldRight(List(List.empty[A])) { (alts, acc) => alts.flatMap(a => acc.map(a :: _)) }
 
   private def compileOne(p: Pattern, structure: PStruct,
-                         strategy: Orders.Strategy = Orders.Trivial): CompiledPattern = {
+                         strategy: Orders.Strategy = Orders.Trivial,
+                         negStrategy: Orders.NegStrategy = Orders.NegNaive): CompiledPattern = {
     // 1. slot assignment: DFS order over the full structure (negatives keep their positions,
     //    mirroring the reference's index-by-arg-position, /root/reference/base/Pattern.py:90-101).
     var nextSlot = -1
@@ -205,11 +211,28 @@ object Compiler {
         }
         var root: Spec = buildJ(Orders.resolveTree(strategy, posArgs.toList))
         var firstUnb = -1
-        // bounded first, then unbounded (naive negation algorithm)
-        (negSpecs.filter(!_._2) ++ negSpecs.filter(_._2)).foreach { case (neg, unb) =>
-          root = register(NegSpec(newId(), isSeqTop, root, neg, unb))
-          if (unb && firstUnb == -1) firstUnb = root.id
+        // bounded below unbounded always (unbounded negation parks matches — it must sit
+        // on top); WITHIN each group: pattern order (NegNaive) or descending arrival rate
+        // (NegStatistic — the likeliest invalidator checked first, reference
+        // StatisticNegationAlgorithm.py:17-21). Output-invariant: every NegSpec is a
+        // ∀-check over its buffer, so stack order changes cost, not the match set.
+        def stack(group: Seq[(Spec, Boolean)]): Seq[(Spec, Boolean)] = negStrategy match {
+          case Orders.NegNaive => group
+          case Orders.NegStatistic(pw) =>
+            def rate(s: Spec): Double = s match {
+              case l: LeafSpec => pw.getOrElse(l.etype, 1.0)
+              case b: BinSpec  => math.max(rate(b.left), rate(b.right))
+              case k: KCSpec   => rate(k.child)
+              case n: NegSpec  => math.max(rate(n.pos), rate(n.neg))
+            }
+            // stable sort, tie-broken by slot position for determinism
+            group.sortBy { case (s, _) => (-rate(s), s.slots.min) }
         }
+        (stack(negSpecs.filter(!_._2).toSeq) ++ stack(negSpecs.filter(_._2).toSeq))
+          .foreach { case (neg, unb) =>
+            root = register(NegSpec(newId(), isSeqTop, root, neg, unb))
+            if (unb && firstUnb == -1) firstUnb = root.id
+          }
         (root, firstUnb)
       case s => (build(s), -1)
     }

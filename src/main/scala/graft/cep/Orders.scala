@@ -46,6 +46,43 @@ object Orders {
     * every intermediate small. */
   final case class DpBushy(perWindowByType: Map[String, Double],
                            selByNames: Map[(String, String), Double] = Map.empty) extends Strategy
+  /** Anytime left-deep improvement (reference IterativeImprovementLeftDeepTreeBuilder,
+    * /root/reference/plan/LeftDeepTreeBuilders.py:138-178, moves from
+    * /root/reference/plan/IterativeImprovement.py:23-104): start from a greedy or random
+    * order, propose `stepLimit` random swap (two positions exchanged) or circle (three
+    * positions rotated) moves, keep strict improvements under the intermediate-count cost.
+    * The middle ground for arity > 20 where [[DpLeftDeep]]'s 2^n subset DP is barred:
+    * cost scales with stepLimit, not arity, and the result never regresses below its
+    * seed. Seeded RNG — deterministic and executor-shippable. */
+  final case class IterativeImprovement(perWindowByType: Map[String, Double],
+                                        selByNames: Map[(String, String), Double] = Map.empty,
+                                        stepLimit: Int = 200,
+                                        circleMoves: Boolean = false,
+                                        greedyInit: Boolean = true,
+                                        seed: Long = 17L) extends Strategy
+  /** ZStream bushy builder (reference ZStreamTreeBuilder,
+    * /root/reference/plan/BushyTreeBuilders.py:68-114): optimal BRACKETING of a fixed
+    * leaf order by interval DP over contiguous suborders — O(n^3) intervals against
+    * DpBushy's O(3^n) subsets, at the price of never permuting leaves. `greedyOrder`
+    * seeds the Greedy order instead of pattern order (reference ZStreamOrdTreeBuilder,
+    * `:117-123`). Sits between left-deep-over-same-order (never better bracketing) and
+    * DpBushy (never worse than ZStream) — documented by OrdersSpec's cost comparison. */
+  final case class ZStream(perWindowByType: Map[String, Double],
+                           selByNames: Map[(String, String), Double] = Map.empty,
+                           greedyOrder: Boolean = false) extends Strategy
+
+  /** Negative-stack placement (SURVEY §2.3): [[NegNaive]] keeps pattern order within the
+    * bounded and unbounded groups (reference NaiveNegationAlgorithm,
+    * /root/reference/plan/negation/NaiveNegationAlgorithm.py:9-43); [[NegStatistic]]
+    * sorts each group by DESCENDING arrival rate (reference StatisticNegationAlgorithm,
+    * /root/reference/plan/negation/StatisticNegationAlgorithm.py:10-25), so the negative
+    * most likely to invalidate a pending positive is checked first and prunes the
+    * pending set cheapest. Bounded negatives always stack below unbounded ones (shared by
+    * both algorithms — unbounded negation parks matches and must sit on top). Stack order
+    * is output-invariant (each negative is a ∀-check; asserted by EngineSpec). */
+  sealed trait NegStrategy extends Serializable
+  case object NegNaive extends NegStrategy
+  final case class NegStatistic(perWindowByType: Map[String, Double]) extends NegStrategy
 
   /** Join tree over positive-arg indices — the combination shape the compiler builds.
     * Left-deep strategies resolve to a left-spine; DpBushy may produce any binary shape.
@@ -107,7 +144,9 @@ object Orders {
       chosen.toIndexedSeq
     case DpLeftDeep(pw, sel) =>
       dpLeftDeepOrder(posArgs, pw, sel)
-    case DpBushy(_, _) | FixedTree(_) =>
+    case ii: IterativeImprovement =>
+      iiOrder(ii, posArgs)
+    case DpBushy(_, _) | FixedTree(_) | ZStream(_, _, _) =>
       throw new IllegalArgumentException("tree-shaped strategy has no flat order — use resolveTree")
   }
 
@@ -118,9 +157,129 @@ object Orders {
       require(t.indices.sorted == posArgs.indices.toList, s"tree $t is not a permutation")
       t
     case DpBushy(pw, sel) => dpBushy(posArgs, pw, sel)
+    case z: ZStream       => zStreamTree(z, posArgs)
     case s =>
       val order = resolve(s, posArgs)
       order.tail.foldLeft(JLeaf(order.head): JTree)((t, i) => JNode(t, JLeaf(i)))
+  }
+
+  /** Hill-climbing order improvement (reference IterativeImprovement.execute,
+    * /root/reference/plan/IterativeImprovement.py:27-38, with the swap/circle generators
+    * `:50-91`): propose a random move, keep it iff the cost strictly drops, else undo. */
+  private def iiOrder(ii: IterativeImprovement, posArgs: List[PStruct]): IndexedSeq[Int] = {
+    val n = posArgs.length
+    if (n == 1) return IndexedSeq(0)
+    val rnd = new scala.util.Random(ii.seed)
+    val order: Array[Int] =
+      if (ii.greedyInit) resolve(Greedy(ii.perWindowByType, ii.selByNames), posArgs).toArray
+      else rnd.shuffle(posArgs.indices.toList).toArray
+    def cost(): Double =
+      leftDeepCost(order.toIndexedSeq, posArgs, ii.perWindowByType, ii.selByNames)
+    // 3-cycle of positions (a,b,c): contents rotate b->a, c->b, a->c; the inverse cycle
+    // is rotate(a,c,b). (The reference's _reverse_move re-applies the SAME cycle in a
+    // shifted frame — IterativeImprovement.py:89-91 — which does not undo it; a rejected
+    // circle move there silently leaves the order rotated. We undo exactly.)
+    def rotate(a: Int, b: Int, c: Int): Unit = {
+      val t = order(a); order(a) = order(b); order(b) = order(c); order(c) = t
+    }
+    var cur = cost()
+    var step = 0
+    while (step < ii.stepLimit) {
+      if (!ii.circleMoves || n < 3) {
+        val i = rnd.nextInt(n)
+        val j = i + rnd.nextInt(n - i)
+        val t = order(i); order(i) = order(j); order(j) = t
+        val c = cost()
+        if (c < cur) cur = c
+        else { val u = order(i); order(i) = order(j); order(j) = u }
+      } else {
+        val i = rnd.nextInt(n - 2)
+        val j = i + 1 + rnd.nextInt(n - 2 - i)
+        val k = j + 1 + rnd.nextInt(n - 1 - j)
+        val (a, b, c0) = if (rnd.nextBoolean()) (i, j, k) else (i, k, j)
+        rotate(a, b, c0)
+        val c = cost()
+        if (c < cur) cur = c else rotate(a, c0, b)
+      }
+      step += 1
+    }
+    order.toIndexedSeq
+  }
+
+  /** Interval DP over a fixed leaf order (reference ZStreamTreeBuilder._create_tree_topology,
+    * /root/reference/plan/BushyTreeBuilders.py:72-110): best(i,j) = min over splits k of
+    * best(i,k) + best(k,j) + pm(i..j). Only contiguous suborders are bracketed, so leaves
+    * keep their order; O(n^3) suborder-split pairs. */
+  private def zStreamTree(z: ZStream, posArgs: List[PStruct]): JTree = {
+    val order: IndexedSeq[Int] =
+      if (z.greedyOrder) resolve(Greedy(z.perWindowByType, z.selByNames), posArgs)
+      else posArgs.indices.toIndexedSeq
+    val n = order.length
+    require(n <= 30, s"ZStream interval masks support up to 30 args, got $n")
+    if (n == 1) return JLeaf(order.head)
+    val (counts, g) = grids(posArgs, z.perWindowByType, z.selByNames)
+    val tree = Array.ofDim[JTree](n, n + 1)
+    val cost = Array.fill(n, n + 1)(Double.MaxValue)
+    (0 until n).foreach { i => tree(i)(i + 1) = JLeaf(order(i)); cost(i)(i + 1) = counts(order(i)) }
+    (2 to n).foreach { len =>
+      (0 to n - len).foreach { i =>
+        val j = i + len
+        val mask = (i until j).foldLeft(0)((m, t) => m | (1 << order(t)))
+        val pm = pmCount(mask, counts, g)
+        var k = i + 1
+        while (k < j) {
+          val c = cost(i)(k) + cost(k)(j) + pm
+          if (c < cost(i)(j)) { cost(i)(j) = c; tree(i)(j) = JNode(tree(i)(k), tree(k)(j)) }
+          k += 1
+        }
+      }
+    }
+    tree(0)(n)
+  }
+
+  /** Invariants certifying a greedy order (reference GreedyTreeInvariants,
+    * /root/reference/plan/invariant/Invariants.py:39-70): step s of the greedy build
+    * recorded (chosen_s, runnerUp_s). The plan remains the greedy optimum for fresh
+    * statistics as long as every chosen step's change factor (count x selectivities
+    * against the already-chosen prefix) stays <= its runner-up's; [[violated]] re-checks
+    * that in O(n^2) without rebuilding anything. The last step has no runner-up. */
+  final case class GreedyInvariants(steps: List[(Int, Option[Int])]) extends Serializable {
+    def violated(posArgs: List[PStruct], perWindowByType: Map[String, Double],
+                 selByNames: Map[(String, String), Double] = Map.empty): Boolean = {
+      val counts = posArgs.map(argCount(_, perWindowByType)).toIndexedSeq
+      def changeFactor(i: Int, prefix: List[Int]): Double =
+        prefix.foldLeft(counts(i))((p, j) => p * argSel(posArgs(i), posArgs(j), selByNames))
+      var prefix = List.empty[Int]
+      steps.exists { case (chosen, runnerUp) =>
+        val v = runnerUp.exists(r => changeFactor(chosen, prefix) > changeFactor(r, prefix))
+        prefix = prefix :+ chosen
+        v
+      }
+    }
+  }
+
+  /** Greedy order plus its invariants (reference InvariantAwareGreedyTreeBuilder
+    * .calculate_greedy_order, /root/reference/plan/invariant/InvariantLeftDeepTreeBuilder
+    * .py:66-126). The order is IDENTICAL to [[Greedy]]'s (asserted by OrdersSpec); the
+    * invariants additionally capture each step's runner-up for [[GreedyInvariants
+    * .violated]]. */
+  def greedyWithInvariants(posArgs: List[PStruct], perWindowByType: Map[String, Double],
+                           selByNames: Map[(String, String), Double] = Map.empty)
+  : (IndexedSeq[Int], GreedyInvariants) = {
+    val counts = posArgs.map(argCount(_, perWindowByType)).toIndexedSeq
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val remaining = scala.collection.mutable.Set(posArgs.indices: _*)
+    val steps = List.newBuilder[(Int, Option[Int])]
+    while (remaining.nonEmpty) {
+      def factor(i: Int): Double =
+        chosen.foldLeft(counts(i))((p, j) => p * argSel(posArgs(i), posArgs(j), selByNames))
+      val ranked = remaining.toList.sortBy(i => (factor(i), i))
+      val next = ranked.head
+      steps += ((next, ranked.drop(1).headOption))
+      chosen += next
+      remaining -= next
+    }
+    (chosen.toIndexedSeq, GreedyInvariants(steps.result()))
   }
 
   /** Expected partial-match count of a node covering arg set `mask`:

@@ -56,19 +56,67 @@ object HyperCube {
     }
     private val dimsByType: Map[String, Array[Int]] =
       dims.indices.groupBy(i => dims(i)._1).map { case (t, is) => t -> is.toArray }
+    private val typeIndex: Map[String, Int] = dimsByType.keys.toArray.sorted.zipWithIndex.toMap
 
-    /** All cells of the face fixing dimension `d` at coordinate `c`. */
+    @transient private lazy val allCells: Array[Int] = (0 until size).toArray
+    /** (type, coordinate-vector) -> sorted cell array. The domain is tiny and closed —
+      * at most |types| * product(shape) <= |types| * units distinct entries — while the
+      * same lookup runs once per EVENT in the replication flatMap and once per match
+      * MEMBER in the owner filter; recomputing the face union there dominated the whole
+      * query (round-3 driver artifact: 4.5 s where ~1 s is the real work). Keys are exact
+      * mixed-radix encodings (typeIdx, then each mapped dim's coordinate), so no
+      * collisions; one cache instance lives per deserialized Cube (per task). */
+    @transient private lazy val cellCache =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Int]]()
+
+    /** Cells of the face fixing dimension `d` at coordinate `c`. */
     private def face(d: Int, c: Int): Iterator[Int] =
       (0 until size).iterator.filter(u => (u / strides(d)) % shape(d) == c)
 
-    /** Cells an event routes to (union of its attribute faces; all cells if unmapped). */
-    def cells(e: Ev): Set[Int] = dimsByType.get(e.etype) match {
-      case None => (0 until size).toSet
+    /** Cells an event routes to (union of its attribute faces; all cells if unmapped) —
+      * sorted ascending, shared via [[cellCache]]; callers must not mutate. */
+    def cells(e: Ev): Array[Int] = dimsByType.get(e.etype) match {
+      case None => allCells
       case Some(ds) =>
-        ds.iterator.flatMap { d =>
-          val c = (math.floorMod(dims(d)._2(e), shape(d).toLong)).toInt
-          face(d, c)
-        }.toSet
+        // typeIndex * (size+1) + mixed-radix coords: coords < product(shapes) <= size,
+        // so keys from different types can never collide
+        var key: Long = 0L
+        var i = 0
+        while (i < ds.length) {
+          val d = ds(i)
+          key = key * shape(d) + math.floorMod(dims(d)._2(e), shape(d).toLong)
+          i += 1
+        }
+        key += typeIndex(e.etype).toLong * (size + 1L)
+        var arr = cellCache.get(key)
+        if (arr == null) {
+          arr = ds.iterator.flatMap { d =>
+            val c = (math.floorMod(dims(d)._2(e), shape(d).toLong)).toInt
+            face(d, c)
+          }.toArray.distinct.sorted
+          cellCache.put(key, arr)
+        }
+        arr
+    }
+
+    /** Minimum of the intersection of the members' cell sets (all arrays sorted) — the
+      * owner cell of a match (reference skip_item). -1 if the intersection is empty
+      * (cannot happen for a real match: its members co-located in the current cell). */
+    def minCommonCell(cellSets: Array[Array[Int]]): Int = {
+      val first = cellSets(0)
+      var i = 0
+      while (i < first.length) {
+        val v = first(i)
+        var j = 1
+        var inAll = true
+        while (inAll && j < cellSets.length) {
+          if (java.util.Arrays.binarySearch(cellSets(j), v) < 0) inAll = false
+          j += 1
+        }
+        if (inAll) return v
+        i += 1
+      }
+      -1
     }
   }
 
@@ -123,10 +171,11 @@ object HyperCube {
           private var engine: MatchEngine = null
           private val buf = scala.collection.mutable.Queue.empty[CepMatch]
           // owner rule: keep only matches whose members' cell-set intersection has this
-          // unit as its minimum (reference skip_item)
+          // unit as its minimum (reference skip_item); cell sets come from the cube's
+          // per-task cache, so the filter costs a few sorted-array probes per match
           private val ownSink = (m: CepMatch) => {
-            val memberCells = m.binds.iterator.flatMap(_.evs).map(cube.cells)
-            if (memberCells.reduce(_ intersect _).min == curUnit) { buf += m; () }
+            val memberCells = m.binds.iterator.flatMap(_.evs).map(cube.cells).toArray
+            if (cube.minCommonCell(memberCells) == curUnit) { buf += m; () }
           }
           private def rowToEv(r: org.apache.spark.sql.Row): Ev =
             Ev(r.getString(1), r.getLong(2), r.getString(3), r.getLong(4), r.getDouble(5),

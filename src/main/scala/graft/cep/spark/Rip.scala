@@ -1,6 +1,6 @@
 package graft.cep.spark
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.functions._
 import graft.cep._
 
@@ -34,6 +34,11 @@ import graft.cep._
  */
 object Rip {
 
+  /** Pane id of events on keys the auto-router left UNSALTED: one group per key, no
+    * replication, owner filter disabled (lo/hi become the whole time line). Collision
+    * with a real pane id would need ts near Long.MinValue*pane — out of domain. */
+  private[spark] val ColdPane = Long.MinValue
+
   /** True when some negative of `cp` can arrive up to one window before the pattern's
     * first positive event: any NOT under AND, or a SEQ negative whose slot precedes every
     * positive slot. Drives the 3-pane replication above. */
@@ -47,8 +52,11 @@ object Rip {
   }
 
   /** Skew-aware auto-routing: a SAMPLED per-key count picks the keys holding more than
-    * `hotThreshold` relevant events; cold keys run the plain keyed path, hot keys the
-    * salted pane path, outputs unioned. This removes both costs of unconditional salting —
+    * `hotThreshold` relevant events; hot keys get the salted pane fan-out, cold keys a
+    * single sentinel pane — in ONE select/explode/shuffle pass (the pane array is computed
+    * CONDITIONALLY per key inside the same Catalyst projection `evaluateSalted` uses, so
+    * auto degenerates to salted's plan with replication only on hot keys; there is no
+    * plain-union-salted double scan). This removes both costs of unconditional salting —
     * the 2-3x event replication paid on uniform corpora — and the plain path's OOM cliff
     * (BatchEvaluator materializes one key group per task; a pathological key is now fanned
     * out over panes instead of failing). Patterns with consumption policies (which salting
@@ -73,23 +81,37 @@ object Rip {
       p.policy.single.isEmpty && p.policy.freeze.isEmpty && p.policy.next.isEmpty)
     val filtered = events.filter(col("etype").isin(types: _*))
     val frac = 100.0 / hotThreshold
+    // Detection counts RAW per-key events (no relevant-type filter): raw >= filtered
+    // counts always, so this can only OVER-flag (a key a bit under threshold on relevant
+    // types gets mild pane replication) — never miss a hot key. Skipping the type filter
+    // keeps the detection scan to the single key column (no role/tool reads, no CASE).
     val hot: Array[String] =
       if (!policyFree) Array.empty
       else if (frac >= 1.0)
-        filtered.select("key").groupBy("key").count()
+        events.select("key").groupBy("key").count()
           .filter(col("count") > hotThreshold).select("key").as[String].collect()
       else
-        filtered.select("key").sample(withReplacement = false, frac, seed = 7)
+        events.select("key").sample(withReplacement = false, frac, seed = 7)
           .groupBy("key").count()
           .filter(col("count") > lit(hotThreshold * frac / 2.0)).select("key").as[String].collect()
     if (hot.isEmpty) BatchEvaluator.evaluate(filtered, patterns)
-    else
-      BatchEvaluator.evaluate(filtered.filter(!col("key").isin(hot: _*)), patterns)
-        .union(evaluateSalted(filtered.filter(col("key").isin(hot: _*)), patterns, paneMicros))
+    else evaluatePaned(filtered, patterns, paneMicros, hotKeys = Some(hot))
   }
 
+  /** Unconditional pane salting: every key fans out over time panes. */
   def evaluateSalted(events: Dataset[Ev], patterns: Seq[Pattern], paneMicros: Long): Dataset[CepMatch] = {
-    val spark = events.sparkSession
+    val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
+    val types = compiled.flatMap(_.relevantTypes).distinct
+    evaluatePaned(events.filter(col("etype").isin(types: _*)), patterns, paneMicros, hotKeys = None)
+  }
+
+  /** The single paned pass behind both entry points. `hotKeys = None` salts every key
+    * (evaluateSalted); `Some(keys)` salts only those keys and routes the rest through a
+    * sentinel pane in the SAME shuffle — the cold side then has exactly the plain path's
+    * per-key grouping (one group per key, no replication, no owner filtering). */
+  private def evaluatePaned(filtered: Dataset[Ev], patterns: Seq[Pattern], paneMicros: Long,
+                            hotKeys: Option[Array[String]]): Dataset[CepMatch] = {
+    val spark = filtered.sparkSession
     import spark.implicits._
     val window = patterns.map(_.windowMicros).max
     require(paneMicros >= window, s"pane width $paneMicros must be >= max pattern window $window")
@@ -97,7 +119,6 @@ object Rip {
       p.policy.single.isEmpty && p.policy.freeze.isEmpty && p.policy.next.isEmpty),
       "salted evaluation requires MATCH_ANY (single/freeze/next policies carry cross-pane state)")
     val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
-    val types = compiled.flatMap(_.relevantTypes).distinct
     val backPane = compiled.exists(negCanPrecedeFirstPositive)
     /** Event types bound under some NOT across the patterns — the only events a pane ever
       * needs from its FOLLOWING pane (a match's positives all lie at/after its firstTs;
@@ -123,11 +144,19 @@ object Rip {
       if (backPane && negETypes.nonEmpty)
         when(col("etype").isin(negETypes.toSeq: _*) && offset >= paneLit - lit(window), p + 1L)
       else lit(null).cast("long")
-    events
-      .filter(col("etype").isin(types: _*))
+    val salted = array_compact(array(p, prevRep, nextRep))
+    // Hot gating: on the salted path every key is hot; on the auto path only flagged keys
+    // replicate — cold keys collapse to the single sentinel pane. ONE key test per row
+    // (the conditional wraps the whole pane array), inside the same codegen'd projection:
+    // the cold majority pays a string compare and skips the pane arithmetic entirely.
+    val panes: Column = hotKeys match {
+      case None     => salted
+      case Some(ks) => when(col("key").isin(ks.toSeq: _*), salted).otherwise(array(lit(ColdPane)))
+    }
+    filtered
       .toDF()
       .select(BatchEvaluator.EvCols.map(col): _*)
-      .withColumn("pane", explode(array_compact(array(p, prevRep, nextRep))))
+      .withColumn("pane", explode(panes))
       .withColumn("khash", xxhash64(col("key"), col("pane")))
       .repartition(col("key"), col("pane"))
       // hash-led sort: see BatchEvaluator.evaluate — prefix-decisive cross-group compares
@@ -135,7 +164,8 @@ object Rip {
       .mapPartitions { rows =>
         // Streaming walk over (key, pane) runs — same shape as BatchEvaluator.evaluate's
         // reduce side, plus the owner filter: a match is kept only by the pane containing
-        // its firstTs, so each match is emitted exactly once despite replication.
+        // its firstTs, so each match is emitted exactly once despite replication. The
+        // sentinel pane owns everything (cold keys have exactly one, unreplicated group).
         new Iterator[CepMatch] {
           private var curKey: String = null
           private var curPane: Long = 0L
@@ -155,7 +185,8 @@ object Rip {
               if (k != curKey || pn != curPane || engine == null) {
                 if (engine != null) owned(engine.finish())
                 curKey = k; curPane = pn
-                lo = pn * paneMicros; hi = lo + paneMicros
+                if (pn == ColdPane) { lo = Long.MinValue; hi = Long.MaxValue }
+                else { lo = pn * paneMicros; hi = lo + paneMicros }
                 engine = new MatchEngine(compiled)
               }
               engine.feedEach(BatchEvaluator.rowToEv(r))(ownSink)

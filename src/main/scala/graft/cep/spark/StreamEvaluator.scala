@@ -53,6 +53,7 @@ object StreamEvaluator {
     * state by leaf replay (MATCH_ANY) or drops it with a logged warning (policy patterns —
     * replay would bypass freeze admission / double-consume single budgets). */
   private val migrateWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val oldPlanDropWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** `assumeOrdered = true` drops the reorder buffer: each micro-batch's events are fed
     * immediately in (ts, idx) order, trusting the source to deliver every key's events in
@@ -131,10 +132,19 @@ object StreamEvaluator {
               val oe = new MatchEngine(oldCompiled.get)
               oe.restore(o.engine)
               trans = Some((oe, o.startWm, o.firstFedTs))
+            } else {
+              // The previousOrder no longer matches the stored transition (plan changed
+              // again mid-transition, or previousOrder was dropped) — abandon the old
+              // tree. The new engine owns every match from firstFedTs on, but OLD-ONLY
+              // matches (firstTs < firstFedTs) still pending in the retiring engine are
+              // LOST — warn so operators keep previousOrder stable until retirement.
+              if (oldPlanDropWarned.compareAndSet(false, true))
+                System.err.println(s"[graft] stored in-flight transition discarded: " +
+                  s"previousOrder is ${if (oldFp.isEmpty) "absent" else "a different plan"} " +
+                  s"(stored old fp ${o.fp}, supplied ${oldFp.getOrElse("none")}). Matches " +
+                  s"started before the swap boundary may be dropped; keep previousOrder " +
+                  s"unchanged until the transition retires (one window past the swap).")
             }
-            // else: the previousOrder no longer matches the stored transition (plan
-            // changed again mid-transition) — abandon the old tree; the new engine
-            // already owns every match from firstFedTs on.
           }
         } else if (oldFp.contains(d.fp) && policyFree) {
           // restart under a NEW plan with previousOrder = the stored plan: begin the

@@ -38,7 +38,15 @@ object MatchSink {
     new Path(s"$table/_manifests/$commitId.json")
 
   /** Write `df` (must carry a `ts` LongType column for the time bounds) under `commitId`.
-    * Returns the manifest; a pre-existing manifest for the id makes this a no-op. */
+    * Returns the manifest; a pre-existing manifest for the id makes this a no-op.
+    *
+    * SINGLE WRITER PER COMMIT ID: the idempotency guard (manifest-exists check) and the
+    * staging-dir cleanup are check-then-act — two processes writing the SAME commitId
+    * concurrently can delete each other's staging output mid-write. That is the intended
+    * deployment contract (one driver owns a commit id; retries happen after the previous
+    * attempt died — the Spark-job-resubmit model), matching Iceberg's
+    * single-committer-per-snapshot assumption. Writers that cannot guarantee it must
+    * derive distinct commit ids (e.g. suffix an attempt id) and deduplicate downstream. */
   def write(df: DataFrame, table: String, commitId: String): Manifest = {
     require(commitId.matches("[A-Za-z0-9._-]+"), s"unsafe commit id: $commitId")
     val spark = df.sparkSession
@@ -85,12 +93,54 @@ object MatchSink {
     m
   }
 
-  /** Load the table = union of all manifested files ONLY (uncommitted data invisible). */
-  def read(spark: SparkSession, table: String): DataFrame = {
+  /** Load the table = union of all manifested files ONLY (uncommitted data invisible).
+    * `schema` is used when NO manifested files exist yet, so downstream column
+    * references resolve against an empty-but-typed frame instead of failing on the
+    * schema-less `spark.emptyDataFrame`; without it an empty table degrades to the old
+    * behavior (documented sharp edge — an unwritten table has no schema source). */
+  def read(spark: SparkSession, table: String,
+           schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
     val ms = listManifests(spark, table)
     val files = ms.flatMap(_.files).map(fl => s"$table/data/${fl.name}")
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else if (schema != null)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.emptyDataFrame
+  }
+
+  /** Garbage-collect ORPHANS: data files no manifest references and staging directories,
+    * left behind by commits that crashed between staging and the manifest write (invisible
+    * to [[read]] but permanent otherwise). Deletes only items older than `graceMs`
+    * (modification time) — younger ones may belong to an IN-FLIGHT commit whose manifest
+    * has not landed yet; staging dirs whose manifest ALREADY exists are deleted at any age
+    * (their commit completed — write() renamed the data out or a retry will clear them).
+    * Returns the deleted paths. Run from the table owner only (see [[write]]'s
+    * single-writer contract). */
+  def vacuum(spark: SparkSession, table: String,
+             graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val manifests = listManifests(spark, table)
+    val manifested: Set[String] = manifests.flatMap(_.files).map(_.name).toSet
+    val committedIds: Set[String] = manifests.map(_.commitId).toSet
+    val now = System.currentTimeMillis()
+    val deleted = List.newBuilder[String]
+    val dataDir = new Path(s"$table/data")
+    val f = fs(spark, dataDir)
+    if (f.exists(dataDir))
+      f.listStatus(dataDir).foreach { s =>
+        if (!manifested(s.getPath.getName) && now - s.getModificationTime > graceMs) {
+          f.delete(s.getPath, true) // recursive: tolerate stray directories too
+          deleted += s.getPath.toString
+        }
+      }
+    val stagingDir = new Path(s"$table/_staging")
+    if (f.exists(stagingDir))
+      f.listStatus(stagingDir).foreach { s =>
+        if (committedIds(s.getPath.getName) || now - s.getModificationTime > graceMs) {
+          f.delete(s.getPath, true)
+          deleted += s.getPath.toString
+        }
+      }
+    deleted.result()
   }
 
   def listManifests(spark: SparkSession, table: String): Seq[Manifest] = {

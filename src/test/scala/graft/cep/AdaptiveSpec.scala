@@ -52,6 +52,27 @@ class AdaptiveSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("invariant-aware optimizer replans only when a greedy choice flips") {
+    val posArgs = List[PStruct](P("A", "a"), P("B", "b"), P("C", "c"))
+    val pw0 = Map("A" -> 20.0, "B" -> 20.0, "C" -> 5.0)
+    val sel = Map(("a", "b") -> 0.001)
+    val opt = new Adaptive.InvariantAwareOptimizer(posArgs)
+    assert(opt.shouldReplan(pw0, sel), "no plan yet -> always plan")
+    val o0 = opt.build(pw0, sel)
+    assert(o0 == Orders.resolve(Orders.Greedy(pw0, sel), posArgs))
+    // 10x drift preserving every greedy choice: the deviation selector would fire,
+    // the invariant check provably does not need to
+    val drifted = Map("A" -> 200.0, "B" -> 220.0, "C" -> 6.0)
+    val dev = new Adaptive.DeviationAwareSelector(0.5)
+    dev.shouldReplan(pw0)
+    assert(dev.shouldReplan(drifted), "sanity: deviation trigger fires on this drift")
+    assert(!opt.shouldReplan(drifted, sel), "no invariant violated -> keep the plan")
+    // small drift flipping the first choice (A now cheaper than C): replan, new order
+    val flipped = Map("A" -> 4.0, "B" -> 20.0, "C" -> 5.0)
+    assert(opt.shouldReplan(flipped, sel))
+    assert(opt.build(flipped, sel).head == 0, "A leads after the flip")
+  }
+
   test("deviation-aware selector fires on drift, stays quiet when stable") {
     val sel = new Adaptive.DeviationAwareSelector(0.5)
     assert(sel.shouldReplan(Map("A" -> 100.0, "B" -> 10.0))) // first sight always plans

@@ -43,6 +43,22 @@ class HyperCubeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("UNEQUAL cube shares still route exactly (cell-cache keys must not collide)") {
+    import spark.implicits._
+    // units=30 over 2 dims -> shares [6,5]: with unequal shapes a naive per-type cache
+    // key (typeIdx leading a same-radix code) collides across types — e.g. type-0 coord 5
+    // and type-1 coord 0 — which mis-routes events and silently DROPS matches (caught at
+    // sf0.01 by the driver oracle in round 4; equal shares mask it)
+    val p = Pattern(AND(P("A", "a"), P("B", "b")),
+      CRel.num("a", "b", RelOp.EQ), 60 * MIN)
+    val got = canon(HyperCube.evaluate(spark.createDataset(events), Seq(p),
+      attributes = Map("A" -> Seq((e: Ev) => e.num.toLong), "B" -> Seq((e: Ev) => e.num.toLong)),
+      units = 30).collect().toSeq)
+    val want = canon(globalRun(Seq(p)))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("unmapped negative type broadcasts, so negation matches the global run") {
     import spark.implicits._
     val p = Pattern(SEQ(P("A", "a"), NOT(P("N", "n")), P("B", "b")),

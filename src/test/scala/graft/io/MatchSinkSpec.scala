@@ -45,6 +45,38 @@ class MatchSinkSpec extends AnyFunSuite {
     assert(got.count() == 10, "readers must load only manifested files")
   }
 
+  test("vacuum removes crash orphans after the grace period, keeps committed data") {
+    val table = freshTable()
+    MatchSink.write(sample(10), table, "good")
+    // simulate a crash between data rename and manifest write: orphan data + staging
+    sample(999).write.parquet(s"$table/_staging/crashed")
+    sample(7).write.parquet(s"$table/data/orphan-no-manifest")
+    // a completed commit's leftover staging dir (crash AFTER manifest): any-age deletable
+    new java.io.File(s"$table/_staging/good").mkdirs()
+    // within the grace period the crashed commit might still be in flight: untouched
+    // (except the completed commit's staging, which is always safe to clear)
+    val early = MatchSink.vacuum(spark, table, graceMs = 60L * 60 * 1000)
+    assert(early.forall(_.endsWith("_staging/good")), s"only completed staging early, got $early")
+    assert(MatchSink.read(spark, table).count() == 10)
+    Thread.sleep(60)
+    val deleted = MatchSink.vacuum(spark, table, graceMs = 20L)
+    assert(deleted.exists(_.contains("orphan-no-manifest")) &&
+      deleted.exists(_.endsWith("_staging/crashed")), s"want both orphans gone, got $deleted")
+    assert(MatchSink.read(spark, table).count() == 10, "committed rows survive vacuum")
+    assert(MatchSink.listManifests(spark, table).size == 1)
+    // a retried write after vacuum still commits cleanly
+    MatchSink.write(sample(5), table, "late")
+    assert(MatchSink.read(spark, table).count() == 15)
+  }
+
+  test("empty-table read with a supplied schema yields a typed empty frame") {
+    val table = freshTable()
+    val schema = sample(1).schema
+    val got = MatchSink.read(spark, table, schema)
+    assert(got.count() == 0 && got.schema == schema)
+    assert(got.select("ts").count() == 0, "columns must resolve on the empty frame")
+  }
+
   test("multiple commits union; manifests carry per-file lineage") {
     val table = freshTable()
     MatchSink.write(sample(30), table, "a")

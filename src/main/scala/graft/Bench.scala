@@ -60,10 +60,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
-    // 540 s soft deadline: the worst post-deadline block (the always-run cliff fork) adds
-    // ~2 min, keeping worst-case wall ~12 min in bad weather (observed 876 s with 600)
+    // 560 s soft deadline: the unconditional path (gen + queries + micros + engine
+    // threads + scaling rep 1 + cliff x2 + mixed) measures ~490 s clean, so the one
+    // optional block (scaling rep 2, ~120 s) normally fits -> truncated:false; in bad
+    // weather the gate drops ONLY that block (worst wall ~12 min)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC",
-      if (full) "100000" else "540").toInt
+      if (full) "100000" else "560").toInt
     var truncated = false
     /** Gate for optional (rep 2+ / mixed-skew) work: false once past the soft deadline. */
     def withinBudget: Boolean = {
@@ -177,7 +179,7 @@ object Bench {
     //      candidate); statistic stacks by arrival rate (NHI first — candidates die
     //      before touching NLO).
     val rndN = new scala.util.Random(9)
-    val negEvents = Array.tabulate(60000) { i =>
+    val negEvents = Array.tabulate(40000) { i =>
       val d = rndN.nextInt(100)
       val et = if (d < 5) "A" else if (d < 10) "B" else if (d < 20) "NLO" else "NHI"
       Ev("k", i, et, i.toLong * 1000000L, if (et == "B") 1.0 else 0.0, null, null)
@@ -338,7 +340,10 @@ object Bench {
     }
 
     val (steal0, total0) = stealJiffies()
-    val parentReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // default 2 parent reps: rep 1 unconditional, rep 2 the one budget-gated block — a
+    // clean run finishes untruncated with two weather windows per level (plus the in-fork
+    // reps); bump via env (or FULL profile) for more
+    val parentReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", if (full) "3" else "2").toInt
 
     // scaling series: UNIFORM corpus (no hot key) at N=2 / 4N=8 / 16N=32 threads, PLAIN
     // mode only (salted/auto on a uniform corpus measured nothing and tripled fork cost).
@@ -350,9 +355,9 @@ object Bench {
     // stabilize (measured: 19.9/14.3/11.7/2.0/1.7 s across reps at local[32]); a single
     // warmup is NOT enough, so each fork runs several timed reps and reports its min.
     // Higher core counts warm slower (fewer iterations per thread) — give them more reps
-    // (at 2 cores each thread chews many key groups per pass, so warmup + 2 reps suffice
-    // and the level-2 fork stops dominating the bench wall).
-    def inForkReps(cores: Int): Int = if (cores >= 32) 5 else if (cores >= 8) 3 else 2
+    // (the scaling ratio takes a min PER LEVEL, so each side needs enough weather
+    // samples — an unlucky single window on either side biases the ratio).
+    def inForkReps(cores: Int): Int = if (cores >= 32) 5 else if (cores >= 8) 4 else 3
     val runs = scala.collection.mutable.Map.empty[Int, List[LevelResult]].withDefaultValue(Nil)
     levels.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", inForkReps(c), "heavy") :: runs(c))
     // cliff-skew demo: 80% of turns in ONE conversation — plain serializes on the hot
@@ -361,7 +366,9 @@ object Bench {
     // UNCONDITIONALLY: the plain/salted/auto ordering on this corpus is the artifact's
     // most scrutinized claim and the modes differ by ~3% — one weather window is not
     // enough to call it (round-3 lesson: the singly-sampled cliff said auto lost).
-    var cliffRuns = List(forkLevel(cpus, cliffPath, "all", 2), forkLevel(cpus, cliffPath, "all", 2))
+    // 3 in-fork reps x 2 forks x rotated order = 6 samples per mode: the cliff modes
+    // differ by ~3%, below single-window weather sigma (~0.4 s) — the min needs samples
+    var cliffRuns = List(forkLevel(cpus, cliffPath, "all", 3), forkLevel(cpus, cliffPath, "all", 3))
     // mixed-skew demo (BOTH profiles): 30% hot — always-salting pays replication on the
     // cold majority; auto-routing salts only the detected hot key and tracks plain.
     val skewMix: Option[LevelResult] = Some(forkLevel(cpus, mixPath, "all", 2))

@@ -159,11 +159,22 @@ object MultiPlan {
   }
 
   /** Run the local search; returns one strategy per pattern (input order). Ineligible
-    * patterns (policies, OR, single-arg) keep their individual DP-optimal plan. */
+    * patterns (policies, OR, single-arg) keep their individual DP-optimal plan.
+    *
+    * Two meta-heuristics, mirroring the reference's LocalSearchApproaches
+    * (/root/reference/plan/multi/local_search/LocalSearchApproaches.py:1-10,
+    * LocalSearch.py:82-129): the default SIMULATED ANNEALING accepts a single random
+    * neighbor per step with temperature-decayed tolerance for regressions; `tabu = true`
+    * switches to TABU SEARCH — explore `neighborhood` random neighbors per step, skip
+    * states already on the bounded tabu list, and move to the CHEAPEST remaining one
+    * even when it is worse than the current state (the tabu list, not the move rule,
+    * prevents cycling). Both track and return the best state visited. */
   def localSearch(patterns: Seq[Pattern],
                   perWindowByType: Map[String, Double],
                   selByNames: Map[(String, String), Double] = Map.empty,
-                  steps: Int = 60, seed: Long = 17L): IndexedSeq[Orders.Strategy] = {
+                  steps: Int = 60, seed: Long = 17L,
+                  tabu: Boolean = false, neighborhood: Int = 6,
+                  tabuCapacity: Int = 64): IndexedSeq[Orders.Strategy] = {
     val pw = perWindowByType
     val pats = patterns.zipWithIndex.map { case (p, i) => info(i, p) }.toIndexedSeq
     val rnd = new Random(seed)
@@ -191,27 +202,35 @@ object MultiPlan {
         else Orders.FixedTree(trees(i))
       }
     if (pairs.isEmpty) return strategies(state)
-    val t0 = math.max(1e-9, cur.abs * 0.05)
-    (0 until steps).foreach { step =>
+
+    /** One random neighbor of `st`: pick a pair edge, bracket a random common subset
+      * (planned once by the bushy DP) into every agreeing pattern. None when the draw
+      * fails the agreement re-check. */
+    def neighbor(st: IndexedSeq[Orders.JTree]): Option[IndexedSeq[Orders.JTree]] = {
       val (ai, bi, m) = pairs(rnd.nextInt(pairs.length))
-      // random sub-bracket of the maximal common set, |s| >= 2
       val size = 2 + rnd.nextInt(m.length - 1)
       val s = rnd.shuffle(m).take(size).toSet
-      if (agree(pats(ai), pats(bi), s)) {
-        val peers = pats.filter(c => c.eligible && agree(pats(ai), c, s)).map(_.idx)
-        if (peers.length >= 2) {
-          // plan the shared bracket once (bushy DP over the subset), embed everywhere
-          val subList = s.toList.sorted
-          val subTree0 = Orders.resolveTree(
-            Orders.DpBushy(pw, selByNames), subList.map(pats(ai).posArgs(_)))
-          def remap(t: Orders.JTree): Orders.JTree = t match {
-            case Orders.JLeaf(i)    => Orders.JLeaf(subList(i))
-            case Orders.JNode(l, r) => Orders.JNode(remap(l), remap(r))
-          }
-          val subTree = remap(subTree0)
-          val cand = state.zipWithIndex.map { case (t, i) =>
-            if (peers.contains(i)) withBracket(pats(i), s, subTree, pw, selByNames) else t
-          }
+      if (!agree(pats(ai), pats(bi), s)) return None
+      val peers = pats.filter(c => c.eligible && agree(pats(ai), c, s)).map(_.idx)
+      if (peers.length < 2) return None
+      val subList = s.toList.sorted
+      val subTree0 = Orders.resolveTree(
+        Orders.DpBushy(pw, selByNames), subList.map(pats(ai).posArgs(_)))
+      def remap(t: Orders.JTree): Orders.JTree = t match {
+        case Orders.JLeaf(i)    => Orders.JLeaf(subList(i))
+        case Orders.JNode(l, r) => Orders.JNode(remap(l), remap(r))
+      }
+      val subTree = remap(subTree0)
+      Some(st.zipWithIndex.map { case (t, i) =>
+        if (peers.contains(i)) withBracket(pats(i), s, subTree, pw, selByNames) else t
+      })
+    }
+
+    if (!tabu) {
+      // simulated annealing: one neighbor per step, decayed tolerance for regressions
+      val t0 = math.max(1e-9, cur.abs * 0.05)
+      (0 until steps).foreach { step =>
+        neighbor(state).foreach { cand =>
           val c = cost(cand, pats, pw, selByNames)
           val d = c - cur
           val temp = t0 * math.pow(0.9, step)
@@ -219,6 +238,31 @@ object MultiPlan {
             state = cand; cur = c
             if (c < bestCost) { best = state; bestCost = c }
           }
+        }
+      }
+    } else {
+      // tabu search (reference TabuSearch, LocalSearch.py:94-129): per step explore
+      // `neighborhood` random neighbors, drop tabu-listed states, move to the cheapest
+      // remaining even if worse; visited states enter a bounded FIFO tabu list
+      def key(st: IndexedSeq[Orders.JTree]): String = st.mkString(";")
+      val tabuList = mutable.ArrayDeque.empty[String]
+      val tabuSet = mutable.HashSet.empty[String]
+      def remember(k: String): Unit = {
+        if (tabuSet.add(k)) {
+          tabuList.append(k)
+          while (tabuList.length > tabuCapacity) tabuSet.remove(tabuList.removeHead())
+        }
+      }
+      remember(key(state))
+      (0 until steps).foreach { _ =>
+        val cands = (0 until neighborhood).flatMap(_ => neighbor(state))
+          .filter(c => !tabuSet.contains(key(c)))
+        if (cands.nonEmpty) {
+          val scored = cands.map(c => (cost(c, pats, pw, selByNames), c))
+          val (c, st) = scored.minBy(_._1)
+          state = st; cur = c
+          remember(key(st))
+          if (c < bestCost) { best = state; bestCost = c }
         }
       }
     }

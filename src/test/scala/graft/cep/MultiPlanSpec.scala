@@ -93,6 +93,30 @@ class MultiPlanSpec extends AnyFunSuite {
       "the merged (view, click) subtree must buffer once across both patterns")
   }
 
+  test("tabu search finds the shared bracket too, and outputs stay invariant") {
+    val strategies = MultiPlan.localSearch(ps, pw, sel, steps = 40, seed = 5, tabu = true)
+    strategies.foreach {
+      case Orders.FixedTree(t) => assert(bracketsAB(t), s"tabu: shared bracket missing in $t")
+      case other               => fail(s"expected FixedTree, got $other")
+    }
+    val compiled = ps.zip(strategies).flatMap { case (p, s) => Compiler.compile(p, s) }.toIndexedSeq
+    assert(!MatchEngine.tablesFor(compiled).sharing.isEmpty,
+      "tabu-searched plans must trigger runtime subtree sharing")
+    val rnd = new Random(13)
+    val events = (0 until 300).map { i =>
+      ev(Seq("A", "B", "C", "D", "E")(rnd.nextInt(5)), rnd.nextInt(600), i,
+        num = rnd.nextInt(12).toDouble)
+    }.sortBy(e => (e.ts, e.idx))
+    def run(c: IndexedSeq[CompiledPattern]): Set[(Int, List[List[Long]])] = {
+      val eng = new MatchEngine(c)
+      val ms = events.flatMap(eng.feed) ++ eng.finish()
+      ms.map(m => (m.patternId, m.binds.toList.sortBy(_.slot).map(_.evs.map(_.idx)))).toSet
+    }
+    val want = run(ps.flatMap(Compiler.compile(_)).toIndexedSeq)
+    assert(want.nonEmpty)
+    assert(run(compiled) == want)
+  }
+
   test("search leaves ineligible patterns on safe defaults") {
     val withPolicy = pat("C", "c", 0).copy(policy = Policy(single = Set("A")))
     val strategies = MultiPlan.localSearch(Seq(withPolicy, pat("D", "d", 1)), pw, sel)

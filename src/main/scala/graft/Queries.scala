@@ -150,6 +150,48 @@ object Queries {
         col("e_idx").as("e_id"), col("b_idx").as("b_id"))
   }
 
+  /** SEQ(signup, NOT(error), NOT(click), purchase) WITHIN 12h — TWO bounded negatives, so
+    * the negative-stack ORDER is non-trivial: compiled under [[Orders.NegStatistic]] with
+    * rates that REVERSE pattern order (click declared frequent, error rare -> click checked
+    * first), the driver's oracle independently proves the statistic stack output-invariant
+    * (/root/reference/plan/negation/StatisticNegationAlgorithm.py:10-25). */
+  val statNotPattern: Pattern = Pattern(
+    SEQ(P("signup", "s"), NOT(P("error", "e")), NOT(P("click", "k")), P("purchase", "b")),
+    CTrue, 12 * H)
+
+  def cepStatNot(s: SparkSession, dir: String): DataFrame = {
+    val compiled = Compiler.compile(statNotPattern, Orders.Trivial,
+      Orders.NegStatistic(Map("click" -> 100.0, "error" -> 1.0)))
+    val ms = BatchEvaluator.evaluateCompiled(EventsTable.load(s, dir), compiled)
+    BatchEvaluator.flat(ms, statNotPattern)
+      .select(col("key").cast("long").as("user_id"),
+        col("s_idx").as("s_id"), col("b_idx").as("b_id"))
+  }
+
+  private val seq3Pw = Map("view" -> 40.0, "click" -> 40.0, "purchase" -> 5.0)
+
+  /** cep_seq3 under a ZStreamOrd BUSHY plan (interval DP over the greedy leaf order) —
+    * shares seq3's oracle, so the driver independently validates tree-shaped
+    * (non-left-deep) plans on real data. */
+  def cepZstreamSeq3(s: SparkSession, dir: String): DataFrame = {
+    val compiled = Compiler.compile(seq3Pattern, Orders.ZStream(seq3Pw, greedyOrder = true))
+    val ms = BatchEvaluator.evaluateCompiled(EventsTable.load(s, dir), compiled)
+    BatchEvaluator.flat(ms, seq3Pattern)
+      .select(col("key").cast("long").as("user_id"),
+        col("v_idx").as("v_id"), col("c_idx").as("c_id"), col("b_idx").as("b_id"))
+  }
+
+  /** cep_seq3 under an ITERATIVE-IMPROVEMENT order (seeded swap hill-climb from the
+    * greedy order) — shares seq3's oracle. */
+  def cepIiSeq3(s: SparkSession, dir: String): DataFrame = {
+    val compiled = Compiler.compile(seq3Pattern,
+      Orders.IterativeImprovement(seq3Pw, stepLimit = 100, seed = 3L))
+    val ms = BatchEvaluator.evaluateCompiled(EventsTable.load(s, dir), compiled)
+    BatchEvaluator.flat(ms, seq3Pattern)
+      .select(col("key").cast("long").as("user_id"),
+        col("v_idx").as("v_id"), col("c_idx").as("c_id"), col("b_idx").as("b_id"))
+  }
+
   /** SEQ(view v, click c) WITHIN 24h evaluated JOINTLY with seq3 under local-search
     * MERGED plans ([[graft.cep.MultiPlan.localSearch]]): purchase is rare, so each
     * pattern's individual optimum starts from it and never brackets (view, click) — only

@@ -26,6 +26,9 @@ object SparkEntry {
     "cep_contig" -> (Queries.cepContig _),
     "cep_hyper_and2" -> (Queries.cepHyperAnd2 _),
     "cep_merged_vc2" -> (Queries.cepMergedVc2 _),
+    "cep_stat_not" -> (Queries.cepStatNot _),
+    "cep_zstream_seq3" -> (Queries.cepZstreamSeq3 _),
+    "cep_ii_seq3" -> (Queries.cepIiSeq3 _),
     // relational / window smoke (§2.2, §2.5)
     "q1_agg" -> (Queries.q1Agg _),
     "q_join_nation" -> (Queries.qJoinNation _),
@@ -286,6 +289,35 @@ object SparkEntry {
         |FROM events e JOIN events b ON e.user_id = b.user_id
         |WHERE e.event_type = 'error' AND b.event_type = 'purchase'
         |  AND abs(epoch_us(e.ts) - epoch_us(b.ts)) <= 3600000000""".stripMargin,
+    // two bounded negatives under a REVERSED (statistic) stack order: the simple
+    // double-anti-join oracle proves stack order never changes the match set
+    "cep_stat_not" ->
+      """SELECT s.user_id AS user_id, s.event_id AS s_id, b.event_id AS b_id
+        |FROM events s JOIN events b ON s.user_id = b.user_id
+        |WHERE s.event_type = 'signup' AND b.event_type = 'purchase'
+        |  AND s.ts <= b.ts AND epoch_us(b.ts) - epoch_us(s.ts) <= 43200000000
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events e WHERE e.user_id = s.user_id AND e.event_type = 'error'
+        |      AND e.ts >= s.ts
+        |      AND (e.ts < b.ts OR (e.ts = b.ts AND e.event_id < b.event_id)))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events e WHERE e.user_id = s.user_id AND e.event_type = 'click'
+        |      AND e.ts >= s.ts
+        |      AND (e.ts < b.ts OR (e.ts = b.ts AND e.event_id < b.event_id)))""".stripMargin,
+    // ZStreamOrd bushy plan / iterative-improvement order: both share seq3's result
+    // (plans are output-invariant; the driver revalidates on real data)
+    "cep_zstream_seq3" ->
+      """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id, b.event_id AS b_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id JOIN events b ON v.user_id = b.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND v.ts <= c.ts AND c.ts <= b.ts
+        |  AND epoch_us(b.ts) - epoch_us(v.ts) <= 86400000000""".stripMargin,
+    "cep_ii_seq3" ->
+      """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id, b.event_id AS b_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id JOIN events b ON v.user_id = b.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND v.ts <= c.ts AND c.ts <= b.ts
+        |  AND epoch_us(b.ts) - epoch_us(v.ts) <= 86400000000""".stripMargin,
     "cep_salted_seq3" ->
       """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id, b.event_id AS b_id
         |FROM events v JOIN events c ON v.user_id = c.user_id JOIN events b ON v.user_id = b.user_id

@@ -23,13 +23,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"dimension join degraded to sort-merge:\n$plan")
   }
 
+  private def countExchanges(plan: String): Int =
+    plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith("Exchange"))
+
   test("CEP pipeline has exactly one shuffle (the key exchange)") {
     import spark.implicits._
     val evs = graft.io.EventsTable.load(spark, sf)
     val plan = graft.cep.spark.BatchEvaluator
       .evaluate(evs, Seq(Queries.seq3Pattern)).queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange") ) +
-      plan.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges == 1, s"expected exactly one Exchange:\n$plan")
+    assert(countExchanges(plan) == 1, s"expected exactly one Exchange:\n$plan")
+  }
+
+  test("auto skew routing is ONE pass: the routed job has exactly one shuffle, no union") {
+    import spark.implicits._
+    val evs = graft.io.EventsTable.load(spark, sf)
+    // threshold low enough that hot keys ARE detected, so the conditional-pane path runs
+    val routed = graft.cep.spark.Rip.evaluateAuto(evs, Seq(Queries.seq3Pattern),
+      paneMicros = 24L * 3600 * 1000000, hotThreshold = 50L)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(countExchanges(plan) == 1,
+      s"auto's main job must shuffle once (round-3 shape was plain ∪ salted = two jobs):\n$plan")
+    assert(!plan.contains("Union"), s"no plain∪salted union allowed:\n$plan")
   }
 }

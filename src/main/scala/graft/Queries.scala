@@ -275,6 +275,10 @@ object Queries {
   def fingerprint(s: SparkSession, dir: String): DataFrame = TextOps.fingerprint(s, dir)
   def cosineTop1(s: SparkSession, dir: String): DataFrame = Similarity.bruteTop1(s, dir)
   def cosineLsh(s: SparkSession, dir: String): DataFrame = Similarity.lshTop1(s, dir)
+  // IVF coarse-quantizer ANN (k-medians training, probe-2 search) — the second named
+  // scale path beside LSH; k-medians keeps the centroids order-free-deterministic so the
+  // DuckDB oracle replicates training bit-for-bit
+  def cosineIvf(s: SparkSession, dir: String): DataFrame = Similarity.ivfTop1(s, dir)
   // threshold 0.35 = the top ~0.1% of pairwise cosines on the synthetic embeddings
   // (which contain no true near-dups — max pairwise cosine ~0.51); the oracle
   // replicates the sketch bit-for-bit so the cut is exact, not recall-bounded

@@ -46,6 +46,7 @@ object SparkEntry {
     "t_fingerprint" -> (Queries.fingerprint _),
     "s_cosine_top1" -> (Queries.cosineTop1 _),
     "s_cosine_lsh" -> (Queries.cosineLsh _),
+    "s_cosine_ivf" -> (Queries.cosineIvf _),
     "d_embed_dup" -> (Queries.embedDup _),
     // multimodal plumbing (binary payload + typed metadata; stubbed decode)
     "m_media_meta" -> (Queries.mediaMeta _),
@@ -466,6 +467,57 @@ object SparkEntry {
           |SELECT c.vec_id_a, c.vec_id_b
           |FROM cands c JOIN e ea ON ea.vec_id = c.vec_id_a JOIN e eb ON eb.vec_id = c.vec_id_b
           |WHERE list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) >= 0.35""".stripMargin),
+    // IVF k-medians ANN replicated bit-for-bit: init = first 8 vectors by vec_id, two
+    // assign/median rounds (median spelled as (s[(n+1) div 2] + s[n div 2 + 1]) / 2 over
+    // sorted values — the formula both engines compute identically; float SUMS would be
+    // accumulation-order-dependent, medians are order-free), distances as |c|^2 - 2<v,c>
+    // (common |v|^2 dropped on both sides), probe-2 search, exact-cosine top-1
+    "s_cosine_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cl
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |d1 AS (SELECT e.vec_id, c.k,
+        |         list_dot_product(c.cl, c.cl) - 2 * list_dot_product(e.v, c.cl) AS dist
+        |       FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, k FROM (
+        |         SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rk
+        |         FROM d1) WHERE rk = 1),
+        |s1 AS (SELECT a1.k AS k, t.d AS d, list(e.v[t.d] ORDER BY e.v[t.d]) AS s, count(*) AS n
+        |       FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(d) GROUP BY a1.k, t.d),
+        |m1 AS (SELECT k, d, (s[(n + 1) // 2] + s[n // 2 + 1]) / 2.0 AS m FROM s1),
+        |c1 AS (SELECT c0.k, coalesce(mm.cl, c0.cl) AS cl
+        |       FROM c0 LEFT JOIN (SELECT k, list(m ORDER BY d) AS cl FROM m1 GROUP BY k) mm
+        |         ON mm.k = c0.k),
+        |d2 AS (SELECT e.vec_id, c.k,
+        |         list_dot_product(c.cl, c.cl) - 2 * list_dot_product(e.v, c.cl) AS dist
+        |       FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, k FROM (
+        |         SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rk
+        |         FROM d2) WHERE rk = 1),
+        |s2 AS (SELECT a2.k AS k, t.d AS d, list(e.v[t.d] ORDER BY e.v[t.d]) AS s, count(*) AS n
+        |       FROM a2 JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(d) GROUP BY a2.k, t.d),
+        |m2 AS (SELECT k, d, (s[(n + 1) // 2] + s[n // 2 + 1]) / 2.0 AS m FROM s2),
+        |c2 AS (SELECT c1.k, coalesce(mm.cl, c1.cl) AS cl
+        |       FROM c1 LEFT JOIN (SELECT k, list(m ORDER BY d) AS cl FROM m2 GROUP BY k) mm
+        |         ON mm.k = c1.k),
+        |df AS (SELECT e.vec_id, c.k,
+        |         list_dot_product(c.cl, c.cl) - 2 * list_dot_product(e.v, c.cl) AS dist
+        |       FROM e CROSS JOIN c2 c),
+        |rkd AS (SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rk
+        |        FROM df),
+        |af AS (SELECT vec_id, k FROM rkd WHERE rk = 1),
+        |pr AS (SELECT vec_id, k FROM rkd WHERE rk <= 2),
+        |sims AS (SELECT p.vec_id, b.vec_id AS nn_id,
+        |           list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm) AS sim
+        |         FROM pr p JOIN af b ON b.k = p.k AND b.vec_id <> p.vec_id
+        |           JOIN e ea ON ea.vec_id = p.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+        |r AS (SELECT vec_id, nn_id,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk
+        |      FROM sims)
+        |SELECT vec_id, nn_id FROM r WHERE rk = 1""".stripMargin,
     "s_cosine_top1" ->
       """WITH s AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

@@ -97,6 +97,79 @@ object Similarity {
       .select(col("vec_id"), col("nn_id"))
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path alongside [[lshTop1]]:
+    * k-MEDIANS training (per-dimension exact medians — order-free, so the centroids are
+    * bit-deterministic and DuckDB-replicable, unlike float sums whose value depends on
+    * accumulation order), then each query probes only its `nProbe` nearest clusters and
+    * ranks candidates by exact cosine. Centroid init = the first `k` vectors by vec_id
+    * (the classic train-on-a-deterministic-sample shape).
+    *
+    * 100 TB notes: training runs on a bounded sample in production (the per-(cluster,dim)
+    * EXACT median here keeps the oracle bit-exact; `approx_percentile` is the scale knob);
+    * the search is a linear-shuffle equi-join on cluster id — candidates ≈ nProbe/k of the
+    * corpus per query vs the full n of [[bruteTop1]] — with the same
+    * candidates-then-exact-verify shape as the LSH paths. Assignment and probe selection
+    * are one codegen'd projection (distances via the native dot_product against literal
+    * centroid vectors; argmin = array_sort over (dist, k) structs, ties to the lower k). */
+  def ivfTop1(spark: SparkSession, sfDir: String, k: Int = 8, iters: Int = 2,
+              nProbe: Int = 2): DataFrame =
+    ivfTop1(emb(spark, sfDir), k, iters, nProbe)
+
+  def ivfTop1(vectors: DataFrame, k: Int, iters: Int, nProbe: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val e = vectors.select(col("vec_id"), col("v"))
+
+    /** Add `srt`: (dist, k) structs sorted ascending. dist = |c|^2 - 2<v,c> (the common
+      * |v|^2 term cannot change the per-row ranking and is dropped on both engines). */
+    def withDists(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+      val structs = centroids.zipWithIndex.map { case (c, ki) =>
+        var c2 = 0.0
+        var i = 0
+        while (i < c.length) { c2 += c(i) * c(i); i += 1 } // left-to-right, = list_dot_product
+        struct((lit(c2) - lit(2.0) * dot(col("v"), typedLit(c.toSeq))).as("dist"),
+          lit(ki).as("k"))
+      }
+      df.withColumn("srt", array_sort(array(structs.toSeq: _*)))
+    }
+    def assigned(centroids: Array[Array[Double]]): DataFrame =
+      withDists(e, centroids)
+        .withColumn("cl", element_at(col("srt"), 1).getField("k"))
+        .drop("srt")
+
+    var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+    (1 to iters).foreach { _ =>
+      // per-(cluster, dimension) exact median, spelled out as (s[(n+1) div 2] +
+      // s[n div 2 + 1]) / 2 over the sorted values — the one formula both engines
+      // compute bit-identically (built-in percentile/median interpolation internals
+      // differ across engines); empty clusters keep their previous centroid
+      val med = assigned(centroids)
+        .select(col("cl"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cl", "d")
+        .agg(sort_array(collect_list(col("x"))).as("s"), count(lit(1)).as("n"))
+        .selectExpr("cl", "d",
+          "(element_at(s, cast((n + 1) div 2 as int)) + element_at(s, cast(n div 2 + 1 as int))) / 2.0 as m")
+        .collect()
+      val next = centroids.map(_.clone)
+      med.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+    }
+
+    val inv = withNorm(assigned(centroids)) // cluster-id "cl" per vector + norm
+    val probes = withDists(withNorm(e), centroids)
+      .select(col("vec_id"), col("v"), col("norm"),
+        explode(transform(slice(col("srt"), 1, nProbe), s => s.getField("k"))).as("pk"))
+    val sims = probes.as("a").join(inv.as("b"),
+        col("a.pk") === col("b.cl") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("nn_id"))
+  }
+
   def embedDup(spark: SparkSession, sfDir: String, nTables: Int = 4, planesPerTable: Int = 4,
                threshold: Double = 0.35): DataFrame =
     embedDupPairs(emb(spark, sfDir), nTables, planesPerTable, threshold)

@@ -67,6 +67,28 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"clustered recall $recall ($recalled/${brute.size})")
   }
 
+  test("similarity: IVF recall >= 0.9 vs brute force on clustered embeddings") {
+    // Same clustered fixture as the LSH bar: the true NN sits in the query's own tight
+    // cluster, so a 2-iteration k-medians quantizer probing 2 of 8 cells must recover it
+    // (k < #clusters forces several true clusters per cell — recall survives because the
+    // NN's cell is then almost always the query's own best cell).
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val dim = 64
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.zipWithIndex.map { case (x, _) => x + 0.05 * rnd.nextGaussian() }.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val brute = Similarity.bruteTop1(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTop1(df, k = 8, iters = 2, nProbe = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recalled = brute.count { case (v, nn) => ivf.get(v).contains(nn) }
+    val recall = recalled.toDouble / brute.size
+    assert(recall >= 0.9, s"clustered IVF recall $recall ($recalled/${brute.size})")
+  }
+
   test("dedup: minhash LSH pairs are exactly the >=0.4-Jaccard pairs it verifies") {
     val viaLsh = Dedup.minhashLshPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

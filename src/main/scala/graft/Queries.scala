@@ -150,6 +150,19 @@ object Queries {
         col("e_idx").as("e_id"), col("b_idx").as("b_id"))
   }
 
+  /** seq3 with an N-ARY lambda condition (CSimple over three names: v.value + c.value <
+    * b.value) — the reference's n-ary SimpleCondition surface
+    * (/root/reference/condition/Condition.py:189-226), driver-oracled: the sum and
+    * comparison are single double ops, bit-identical in SQL. */
+  val naryPattern: Pattern = Pattern(
+    SEQ(P("view", "v"), P("click", "c"), P("purchase", "b")),
+    CSimple(List("v", "c", "b"),
+      m => m("v").head.num + m("c").head.num < m("b").head.num), 24 * H)
+
+  def cepNary(s: SparkSession, dir: String): DataFrame =
+    cepFlat(s, dir, naryPattern, sorted = false,
+      "v_idx" -> "v_id", "c_idx" -> "c_id", "b_idx" -> "b_id")
+
   /** SEQ(signup, NOT(error), NOT(click), purchase) WITHIN 12h — TWO bounded negatives, so
     * the negative-stack ORDER is non-trivial: compiled under [[Orders.NegStatistic]] with
     * rates that REVERSE pattern order (click declared frequent, error rare -> click checked

@@ -27,6 +27,7 @@ object SparkEntry {
     "cep_hyper_and2" -> (Queries.cepHyperAnd2 _),
     "cep_merged_vc2" -> (Queries.cepMergedVc2 _),
     "cep_stat_not" -> (Queries.cepStatNot _),
+    "cep_nary" -> (Queries.cepNary _),
     "cep_zstream_seq3" -> (Queries.cepZstreamSeq3 _),
     "cep_ii_seq3" -> (Queries.cepIiSeq3 _),
     // relational / window smoke (§2.2, §2.5)
@@ -290,6 +291,14 @@ object SparkEntry {
         |FROM events e JOIN events b ON e.user_id = b.user_id
         |WHERE e.event_type = 'error' AND b.event_type = 'purchase'
         |  AND abs(epoch_us(e.ts) - epoch_us(b.ts)) <= 3600000000""".stripMargin,
+    // n-ary CSimple condition over three bound names (v.value + c.value < b.value)
+    "cep_nary" ->
+      """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id, b.event_id AS b_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id JOIN events b ON v.user_id = b.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND v.ts <= c.ts AND c.ts <= b.ts
+        |  AND epoch_us(b.ts) - epoch_us(v.ts) <= 86400000000
+        |  AND v.value + c.value < b.value""".stripMargin,
     // two bounded negatives under a REVERSED (statistic) stack order: the simple
     // double-anti-join oracle proves stack order never changes the match set
     "cep_stat_not" ->

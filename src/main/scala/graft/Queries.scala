@@ -281,6 +281,10 @@ object Queries {
   def ngramPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(s, dir, dfMax = 50)
   def minhashPairs(s: SparkSession, dir: String): DataFrame = Dedup.minhashLshPairs(s, dir)
+  // connected components over the verified minhash pairs: (doc_id, cluster_id = min
+  // reachable doc_id) — the dedup pipeline's final grouping step
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(Dedup.minhashLshPairs(s, dir))
   def simhashPairs(s: SparkSession, dir: String): DataFrame = Dedup.simhashPairs(s, dir)
   def tokenCount(s: SparkSession, dir: String): DataFrame = TextOps.tokenCount(s, dir)
   def quality(s: SparkSession, dir: String): DataFrame = TextOps.qualityScore(s, dir)

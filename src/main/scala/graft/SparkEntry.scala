@@ -40,6 +40,7 @@ object SparkEntry {
     "dedup_exact" -> (Queries.dedupExact _),
     "d_ngram_pairs" -> (Queries.ngramPairs _),
     "d_minhash_pairs" -> (Queries.minhashPairs _),
+    "d_dup_clusters" -> (Queries.dupClusters _),
     "d_simhash_pairs" -> (Queries.simhashPairs _),
     "t_token_count" -> (Queries.tokenCount _),
     "t_quality" -> (Queries.quality _),
@@ -87,6 +88,54 @@ object SparkEntry {
       |  SELECT vec_id, p // 4 AS t,
       |    sum(CASE WHEN dp >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS bucket
       |  FROM proj GROUP BY vec_id, p // 4)""".stripMargin
+
+  /** MinHash pair derivation (32 affine lanes over FNV-1a gram hashes, 8x4 exact-slice
+    * banding, exact-Jaccard verify) as a WITH chain ending at `common`/`sz`, shared by
+    * the d_minhash_pairs oracle and d_dup_clusters' recursive closure. */
+  private val minhashWith: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+      |                             x -> len(x) > 0) AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS gram
+      |  FROM w WHERE len(ws) >= 3),
+      |h AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(14695981039346656037::UBIGINT,
+      |      [ord(gram[i])::UBIGINT for i in range(1, len(gram) + 1)]),
+      |    (acc, c) -> ((xor(acc, c)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT) AS h
+      |  FROM g),
+      |lanes AS (
+      |  SELECT i AS k,
+      |    ((11400714819323198485::HUGEINT * i) % 18446744073709551616)::UBIGINT | 1::UBIGINT AS ak,
+      |    ((14029467366897019727::HUGEINT * i) % 18446744073709551616)::UBIGINT | 1::UBIGINT AS bk
+      |  FROM range(1, 33) t(i)),
+      |mh AS (
+      |  SELECT doc_id, k,
+      |    min(xor(
+      |      (( ((ak::HUGEINT * (h >> 32)::HUGEINT) % 4294967296) * 4294967296
+      |        + ak::HUGEINT * (h & 4294967295)::HUGEINT + bk ) % 18446744073709551616)::UBIGINT,
+      |      9223372036854775808::UBIGINT)) AS lane
+      |  FROM h, lanes GROUP BY doc_id, k),
+      |bands AS (
+      |  SELECT doc_id, (k - 1) // 4 AS band, list(lane ORDER BY k) AS bkey
+      |  FROM mh GROUP BY doc_id, (k - 1) // 4),
+      |cands AS (
+      |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |common AS (
+      |  SELECT c.a_id, c.b_id, count(*) AS n_common
+      |  FROM cands c JOIN g ga ON ga.doc_id = c.a_id
+      |    JOIN g gb ON gb.doc_id = c.b_id AND ga.gram = gb.gram
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val minhashPairSelect: String =
+    """SELECT a_id, b_id FROM common
+      |JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.4""".stripMargin
 
   /** DuckDB oracles — one per query. The hash-signature ops (d_minhash, d_simhash)
     * replicate the engine's FNV-1a / affine-lane arithmetic in SQL via HUGEINT
@@ -188,47 +237,19 @@ object SparkEntry {
       // 32 affine minhash lanes over FNV-1a gram hashes (split-multiply keeps the mod-2^64
       // product inside HUGEINT; xor with 2^63 maps the engine's SIGNED min onto unsigned
       // MIN), 8 bands x 4 rows with exact band-slice equality, then exact-Jaccard verify.
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
-        |                             x -> len(x) > 0) AS ws
-        |  FROM documents),
-        |g AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS gram
-        |  FROM w WHERE len(ws) >= 3),
-        |h AS (
-        |  SELECT doc_id, list_reduce(
-        |    list_prepend(14695981039346656037::UBIGINT,
-        |      [ord(gram[i])::UBIGINT for i in range(1, len(gram) + 1)]),
-        |    (acc, c) -> ((xor(acc, c)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT) AS h
-        |  FROM g),
-        |lanes AS (
-        |  SELECT i AS k,
-        |    ((11400714819323198485::HUGEINT * i) % 18446744073709551616)::UBIGINT | 1::UBIGINT AS ak,
-        |    ((14029467366897019727::HUGEINT * i) % 18446744073709551616)::UBIGINT | 1::UBIGINT AS bk
-        |  FROM range(1, 33) t(i)),
-        |mh AS (
-        |  SELECT doc_id, k,
-        |    min(xor(
-        |      (( ((ak::HUGEINT * (h >> 32)::HUGEINT) % 4294967296) * 4294967296
-        |        + ak::HUGEINT * (h & 4294967295)::HUGEINT + bk ) % 18446744073709551616)::UBIGINT,
-        |      9223372036854775808::UBIGINT)) AS lane
-        |  FROM h, lanes GROUP BY doc_id, k),
-        |bands AS (
-        |  SELECT doc_id, (k - 1) // 4 AS band, list(lane ORDER BY k) AS bkey
-        |  FROM mh GROUP BY doc_id, (k - 1) // 4),
-        |cands AS (
-        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-        |common AS (
-        |  SELECT c.a_id, c.b_id, count(*) AS n_common
-        |  FROM cands c JOIN g ga ON ga.doc_id = c.a_id
-        |    JOIN g gb ON gb.doc_id = c.b_id AND ga.gram = gb.gram
-        |  GROUP BY 1, 2)
-        |SELECT a_id, b_id FROM common
-        |JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-        |WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.4""".stripMargin,
+      (minhashWith + "\n" + minhashPairSelect),
+    // connected components over the SAME verified minhash pairs: cluster id = min doc_id
+    // reachable (transitive closure by recursive CTE; the Spark side converges the same
+    // min by label propagation)
+    "d_dup_clusters" ->
+      (minhashWith.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        s",\nmp AS ($minhashPairSelect),\n" +
+        """edges AS (SELECT a_id AS x, b_id AS y FROM mp UNION SELECT b_id, a_id FROM mp),
+          |reach(x, y) AS (
+          |  SELECT x, y FROM edges
+          |  UNION
+          |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+          |SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x""".stripMargin),
     "cep_or" ->
       // SEQ(OR(view,click) x, purchase b) WITHIN 6h: the union of the two alternatives —
       // an event is one type only, so the union is duplicate-free

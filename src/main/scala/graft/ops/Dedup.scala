@@ -135,6 +135,40 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Connected components over near-duplicate pairs — the dedup pipeline's final grouping
+    * step (candidates → verify → CLUSTER → keep one per cluster): every doc appearing in a
+    * pair gets `cluster_id` = the smallest doc_id in its connected component (the id that
+    * [[exact]]'s keep rule would also pick). Pregel-style min-label propagation: each
+    * round every node takes the min of its own and its neighbors' labels — one shuffle
+    * join + aggregate per round over (id, label) pairs of 16 bytes (text never moves),
+    * converging in O(component diameter) rounds; near-dup components are small and dense,
+    * so a handful. Convergence is CHECKED (changed-label count), the round cap is only a
+    * pathological-chain safety net. */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+      .distinct().cache()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("y"), col("label").as("nl")), "y")
+        .groupBy(col("x").as("id")).agg(min("nl").as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash signature via the single-pass native aggregate
     * (org.apache.spark.sql.graftfn.SimhashAgg): 64 bit-set counters + row count in ONE
     * 65-long buffer per doc, majority vote at eval. Same constant-per-doc state bound as

@@ -89,6 +89,18 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"clustered IVF recall $recall ($recalled/${brute.size})")
   }
 
+  test("dedup: duplicate clusters propagate min-id labels across transitive chains") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: labels need multiple propagation rounds), plus two
+    // separate components — exercises the convergence loop, not just one-hop minima
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("dedup: minhash LSH pairs are exactly the >=0.4-Jaccard pairs it verifies") {
     val viaLsh = Dedup.minhashLshPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

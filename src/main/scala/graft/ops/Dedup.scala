@@ -143,7 +143,9 @@ object Dedup {
     * join + aggregate per round over (id, label) pairs of 16 bytes (text never moves),
     * converging in O(component diameter) rounds; near-dup components are small and dense,
     * so a handful. Convergence is CHECKED (changed-label count), the round cap is only a
-    * pathological-chain safety net. */
+    * pathological-chain safety net. (At production scale, checkpoint the label frame
+    * every few rounds: the per-round cache() keeps things hot, but a lost executor would
+    * otherwise recompute through the whole iterative lineage.) */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))

@@ -218,13 +218,20 @@ class OrdersSpec extends AnyFunSuite {
       SEQ(P("A", "a"), NOT(P("N1", "n1")), P("B", "b"), NOT(P("N2", "n2"))), CTrue, 40 * MIN)
     val mixedC = Compiler.compile(mixed, Orders.Trivial, Orders.NegStatistic(rates)).head
     assert(negChain(mixedC) == List("N2", "N1"), "unbounded N2 must stay on top of bounded N1")
+    // BOTH negatives unbounded (after the last positive): the statistic reorder also
+    // moves the PARKING node (firstUnboundedId = deepest unbounded NegSpec), so pending
+    // matches park on a different node than under naive order — outputs must not care
+    val unbounded2 = Pattern(
+      SEQ(P("A", "a"), P("B", "b"), NOT(P("N1", "n1")), NOT(P("N2", "n2"))), CTrue, 40 * MIN)
+    assert(negChain(Compiler.compile(unbounded2, Orders.Trivial, Orders.NegStatistic(rates)).head)
+      == List("N1", "N2"), "frequent unbounded N2 parks deepest under statistic order")
     // output invariance across stack orders, negatives present in the stream
     val rnd2 = new scala.util.Random(31)
     val events = (0 until 200).map { i =>
       ev(Seq("A", "B", "N1", "N2")(rnd2.nextInt(4)), rnd2.nextInt(200), i,
         key = s"k${rnd2.nextInt(2)}", num = rnd2.nextInt(10).toDouble)
     }
-    for (p <- Seq(bounded, mixed)) {
+    for (p <- Seq(bounded, mixed, unbounded2)) {
       def runNeg(ns: Orders.NegStrategy): Set[List[List[Long]]] =
         idxSets(events.groupBy(_.key).values.toSeq.flatMap { perKey =>
           val eng = new MatchEngine(Compiler.compile(p, Orders.Trivial, ns))

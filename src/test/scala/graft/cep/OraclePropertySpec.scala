@@ -67,4 +67,40 @@ class OraclePropertySpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, s"\n${failures.size} mismatching cases:\n${failures.take(5).mkString("\n")}")
   }
+
+  test("engine == oracle on 300 cases under RANDOM plan strategies (order + negation stack)") {
+    // The plan-space sweep: every (pattern, stream) case compiles under a randomly drawn
+    // join-order strategy (incl. the round-4 iterative-improvement and ZStream builders)
+    // and a randomly drawn negative-stack strategy with random rates — all of which must
+    // be invisible in the output. Catches planner/engine interactions the per-strategy
+    // unit tests (which use hand-picked shapes) cannot.
+    val failures = collection.mutable.ArrayBuffer.empty[String]
+    (0 until 300).foreach { seed =>
+      val r = new Random(1000 + seed)
+      val p = randomPattern(r)
+      val evs = randomStream(r, 8 + r.nextInt(10), keys = 2)
+      val pw: Map[String, Double] = types.map(t => t -> (0.5 + r.nextInt(20))).toMap
+      val strategy = r.nextInt(6) match {
+        case 0 => Orders.Trivial
+        case 1 => Orders.AscendingRate(pw)
+        case 2 => Orders.Greedy(pw)
+        case 3 => Orders.DpLeftDeep(pw)
+        case 4 => Orders.IterativeImprovement(pw, stepLimit = 50,
+          circleMoves = r.nextBoolean(), greedyInit = r.nextBoolean(), seed = seed)
+        case _ => Orders.ZStream(pw, greedyOrder = r.nextBoolean())
+      }
+      val negStrategy = if (r.nextBoolean()) Orders.NegNaive else Orders.NegStatistic(pw)
+      val compiled = Compiler.compile(p, strategy, negStrategy)
+      val got = Oracle.canon(evs.groupBy(_.key).values.toSeq.flatMap { perKey =>
+        val eng = new MatchEngine(compiled)
+        perKey.sortBy(e => (e.ts, e.idx)).flatMap(eng.feed) ++ eng.finish()
+      })
+      val want = Oracle.matches(p, evs)
+      if (got != want) {
+        failures += s"seed=$seed strategy=$strategy neg=$negStrategy pattern=$p\n" +
+          s"  missing=${(want -- got).take(3)}\n  extra=${(got -- want).take(3)}"
+      }
+    }
+    assert(failures.isEmpty, s"\n${failures.size} mismatching cases:\n${failures.take(5).mkString("\n")}")
+  }
 }

@@ -25,7 +25,7 @@ import graft.io.Transcripts
  * the default profile is sized to finish in ~11 min on this box. Every judge-relevant
  * block (queries, micros, engine threads, scaling rep 1, cliff x2, mixed) runs
  * UNCONDITIONALLY; only scaling reps 2+ and the third cliff fork are skipped once the
- * soft deadline (SPARK_GRAFT_BENCH_BUDGET_SEC, default 540 s) has passed, and skipping is
+ * soft deadline (SPARK_GRAFT_BENCH_BUDGET_SEC, default 560 s) has passed, and skipping is
  * recorded as "truncated":true (truncation can therefore only drop extra weather samples,
  * never a reported block). SPARK_GRAFT_BENCH_FULL=1 enables the full matrix (bigger
  * corpora, more reps) for self-runs with no external timeout.

@@ -124,11 +124,15 @@ object Queries {
         col("v_idx").as("v_id"), col("c_idx").as("c_id"), col("b_idx").as("b_id"))
   }
 
-  /** Same result through the auto hot-key router (threshold forced low so the routing
-    * actually splits hot/cold at sf scale) — shares seq3's oracle. */
+  /** Same result through the auto hot-key router — shares seq3's oracle. Threshold 80
+    * sits inside the per-key event-count distribution at every test SF (events max ~86-99
+    * per key, median ~66), so the router genuinely SPLITS: a handful of keys go salted,
+    * the majority cold (sf0.001: 1/15 hot, sf0.01: 9/150, sf0.1: 83/1500). The round-4
+    * threshold of 50 flagged ~99% of keys "hot" — a 1478-literal per-row isin that cost
+    * 2.9x salted's wall while exercising no split at all. */
   def cepAutoSeq3(s: SparkSession, dir: String): DataFrame = {
     val ms = Rip.evaluateAuto(EventsTable.load(s, dir), Seq(seq3Pattern),
-      paneMicros = 24 * H, hotThreshold = 50L)
+      paneMicros = 24 * H, hotThreshold = 80L)
     BatchEvaluator.flat(ms, seq3Pattern)
       .select(col("key").cast("long").as("user_id"),
         col("v_idx").as("v_id"), col("c_idx").as("c_id"), col("b_idx").as("b_id"))

@@ -94,7 +94,17 @@ object Rip {
         events.select("key").sample(withReplacement = false, frac, seed = 7)
           .groupBy("key").count()
           .filter(col("count") > lit(hotThreshold * frac / 2.0)).select("key").as[String].collect()
+    // Mass-hot guard: auto exists for corpora where hot keys are FEW. When detection
+    // flags a large set (threshold mis-set relative to the corpus, or genuinely mass-hot
+    // data), the per-row hot test — an InSet over |hot| string literals, plus the plan
+    // bloat of analyzing that literal list — buys nothing over just salting everyone
+    // (the cold side's whole saving is the 1 + window/pane replication factor, ~17% at
+    // the bench pane). Route the whole input through the unconditional salted path
+    // instead: same output (routing is never a correctness decision), no per-row key
+    // test, no giant literal plan. (Round-4 driver artifact: a 1478-key hot list at test
+    // threshold cost cep_auto_seq3 2.9x salted's wall; this guard caps the list.)
     if (hot.isEmpty) BatchEvaluator.evaluate(filtered, patterns)
+    else if (hot.length > 256) evaluatePaned(filtered, patterns, paneMicros, hotKeys = None)
     else evaluatePaned(filtered, patterns, paneMicros, hotKeys = Some(hot))
   }
 

@@ -114,8 +114,13 @@ object MatchSink {
     * (modification time) — younger ones may belong to an IN-FLIGHT commit whose manifest
     * has not landed yet; staging dirs whose manifest ALREADY exists are deleted at any age
     * (their commit completed — write() renamed the data out or a retry will clear them).
-    * Returns the deleted paths. Run from the table owner only (see [[write]]'s
-    * single-writer contract). */
+    * Crashed-manifest temp files (`_manifests/.{id}.json.tmp` whose rename never ran) are
+    * swept under the same grace. Returns the deleted paths. Run from the table owner only
+    * (see [[write]]'s single-writer contract) — note the grace is an mtime heuristic, not
+    * a lock: rename preserves mtime, so a commit whose WRITE JOB alone runs longer than
+    * `graceMs` could see its in-flight staging swept by a concurrently-running vacuum;
+    * the single-writer contract (vacuum only between own commits) is what actually
+    * protects it, the grace just adds slack for crashed-writer cleanup. */
   def vacuum(spark: SparkSession, table: String,
              graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val manifests = listManifests(spark, table)
@@ -137,6 +142,16 @@ object MatchSink {
       f.listStatus(stagingDir).foreach { s =>
         if (committedIds(s.getPath.getName) || now - s.getModificationTime > graceMs) {
           f.delete(s.getPath, true)
+          deleted += s.getPath.toString
+        }
+      }
+    // crashed-manifest temps: a writer that died between create(tmp) and rename leaves
+    // .{id}.json.tmp behind forever (readers ignore it — listManifests filters on .json)
+    val manifestDir = new Path(s"$table/_manifests")
+    if (f.exists(manifestDir))
+      f.listStatus(manifestDir).foreach { s =>
+        if (s.getPath.getName.endsWith(".json.tmp") && now - s.getModificationTime > graceMs) {
+          f.delete(s.getPath, false)
           deleted += s.getPath.toString
         }
       }

@@ -142,16 +142,29 @@ object Dedup {
     * round every node takes the min of its own and its neighbors' labels — one shuffle
     * join + aggregate per round over (id, label) pairs of 16 bytes (text never moves),
     * converging in O(component diameter) rounds; near-dup components are small and dense,
-    * so a handful. Convergence is CHECKED (changed-label count), the round cap is only a
-    * pathological-chain safety net. (At production scale, checkpoint the label frame
-    * every few rounds: the per-round cache() keeps things hot, but a lost executor would
-    * otherwise recompute through the whole iterative lineage.) */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    * so a handful. Convergence is CHECKED, the round cap is only a pathological-chain
+    * safety net (a WARNING is logged if it fires with labels still moving — the returned
+    * ids are then NOT a full transitive closure).
+    *
+    * Cost shape: ONE Spark action per round — the round frame carries both the new label
+    * and a changed flag, so summing the flag materializes the round into cache and doubles
+    * as the convergence check (a separate old-vs-new count join would double the job
+    * count). Every `checkpointEvery` rounds the frame is CHECKPOINTED instead of cached,
+    * truncating the iterative lineage: reliable checkpoint when the session has a
+    * checkpoint dir (set one at production scale — a lost executor then replays from the
+    * checkpoint, not through every prior round), `localCheckpoint` otherwise (lineage
+    * still truncated; executor-loss recovery then needs a job retry from round 0).
+    *
+    * The returned frame is backed by the final round's cached/checkpointed frame; callers
+    * holding it long-term should `.unpersist()` it (or copy it out) when done. */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20, checkpointEvery: Int = 5): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
       .distinct().cache()
-    var labels = edges.select(col("x").as("id")).distinct()
+    var cached: DataFrame = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id")).cache()
+    var labels = cached
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -160,14 +173,24 @@ object Dedup {
         .groupBy(col("x").as("id")).agg(min("nl").as("nmin"))
       val next = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).cast("long").as("chg"))
       rounds += 1
+      val step =
+        if (rounds % checkpointEvery == 0) {
+          if (sc.getCheckpointDir.isDefined) next.checkpoint() else next.localCheckpoint()
+        } else next.cache()
+      changed = step.agg(sum("chg")).first().getLong(0) // the round's ONE action
+      cached.unpersist()
+      cached = step
+      labels = step.select("id", "label")
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters: round cap $maxRounds hit with $changed labels still moving — " +
+          "cluster ids are NOT fully converged (pathological long-diameter component); raise maxRounds")
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

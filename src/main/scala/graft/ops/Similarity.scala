@@ -138,8 +138,13 @@ object Similarity {
         .withColumn("cl", element_at(col("srt"), 1).getField("k"))
         .drop("srt")
 
+    // Seed = the k lowest vec_ids, ORDER FIXED ON THE DRIVER: collecting (vec_id, v) and
+    // sorting here (instead of trusting orderBy.limit.collect's row order) removes the
+    // implicit dependency on TakeOrderedAndProject preserving sort order in its collect —
+    // centroid index k must match the oracle's row_number ranking bit-for-bit.
     var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
-      .select("v").as[Seq[Double]].collect().map(_.toArray)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
     (1 to iters).foreach { _ =>
       // per-(cluster, dimension) exact median, spelled out as (s[(n+1) div 2] +
       // s[n div 2 + 1]) / 2 over the sorted values — the one formula both engines

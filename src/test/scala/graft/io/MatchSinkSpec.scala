@@ -51,6 +51,9 @@ class MatchSinkSpec extends AnyFunSuite {
     // simulate a crash between data rename and manifest write: orphan data + staging
     sample(999).write.parquet(s"$table/_staging/crashed")
     sample(7).write.parquet(s"$table/data/orphan-no-manifest")
+    // ...and a crash between manifest create(tmp) and rename: a stale .json.tmp
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$table/_manifests/.deadbeef.json.tmp"), "{}")
     // a completed commit's leftover staging dir (crash AFTER manifest): any-age deletable
     new java.io.File(s"$table/_staging/good").mkdirs()
     // within the grace period the crashed commit might still be in flight: untouched
@@ -62,6 +65,7 @@ class MatchSinkSpec extends AnyFunSuite {
     val deleted = MatchSink.vacuum(spark, table, graceMs = 20L)
     assert(deleted.exists(_.contains("orphan-no-manifest")) &&
       deleted.exists(_.endsWith("_staging/crashed")), s"want both orphans gone, got $deleted")
+    assert(deleted.exists(_.endsWith(".deadbeef.json.tmp")), s"stale manifest tmp gone, got $deleted")
     assert(MatchSink.read(spark, table).count() == 10, "committed rows survive vacuum")
     assert(MatchSink.listManifests(spark, table).size == 1)
     // a retried write after vacuum still commits cleanly

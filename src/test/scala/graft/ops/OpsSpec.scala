@@ -101,6 +101,18 @@ class OpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dedup: cluster labels survive a long-chain component across checkpoint truncation") {
+    import spark.implicits._
+    // a 12-node path has diameter 11: min-label propagation needs 11 rounds, crossing
+    // several checkpointEvery=3 lineage truncations (localCheckpoint here — no checkpoint
+    // dir set) — the regression this guards is a checkpointed round frame losing or
+    // re-deriving labels incorrectly once the pre-checkpoint lineage is gone
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(chain, maxRounds = 20, checkpointEvery = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 12L).map(_ -> 1L).toMap)
+  }
+
   test("dedup: minhash LSH pairs are exactly the >=0.4-Jaccard pairs it verifies") {
     val viaLsh = Dedup.minhashLshPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

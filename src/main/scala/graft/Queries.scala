@@ -87,6 +87,22 @@ object Queries {
   def cepContig(s: SparkSession, dir: String): DataFrame =
     cepFlat(s, dir, contigPattern, sorted = false, "v_idx" -> "v_id", "b_idx" -> "b_id")
 
+  /** SEQ(signup s, purchase b) WITHIN 72h under MATCH_SINGLE on signup
+    * (/root/reference/misc/ConsumptionPolicy.py:76-88, registered at the tree root,
+    * /root/reference/tree/Tree.py:35-37): each signup participates in at most ONE emitted
+    * match, consumed greedily in feed order — so a signup pairs with exactly its FIRST
+    * purchase within the window (when that purchase arrives, every stored unused signup
+    * emits with it and is marked used; purchases are NOT single-listed and stay
+    * reusable). Per-key (user_id, ts) pairs are unique in the events table at every SF,
+    * so feed order is strict ts order and the greedy assignment is SQL-replayable: a
+    * row_number over each signup's qualifying purchases ordered by ts, keeping rank 1. */
+  val singlePattern: Pattern = Pattern(
+    SEQ(P("signup", "s"), P("purchase", "b")), CTrue, 72 * H,
+    policy = Policy(single = Set("signup")))
+
+  def cepSingle(s: SparkSession, dir: String): DataFrame =
+    cepFlat(s, dir, singlePattern, sorted = false, "s_idx" -> "s_id", "b_idx" -> "b_id")
+
   /** SEQ(KC(click)[2..3], purchase) WITHIN 6h with a KC INDEX condition: adjacent clicks
     * of the closure (feed order) must have strictly ascending value — CKCIndex with
     * useOffset=true, offset=1 (/root/reference/condition/KCCondition.py:52-152). The

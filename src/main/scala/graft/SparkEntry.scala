@@ -24,6 +24,7 @@ object SparkEntry {
     "cep_auto_seq3" -> (Queries.cepAutoSeq3 _),
     "cep_or" -> (Queries.cepOr _),
     "cep_contig" -> (Queries.cepContig _),
+    "cep_single" -> (Queries.cepSingle _),
     "cep_hyper_and2" -> (Queries.cepHyperAnd2 _),
     "cep_merged_vc2" -> (Queries.cepMergedVc2 _),
     "cep_stat_not" -> (Queries.cepStatNot _),
@@ -265,6 +266,18 @@ object SparkEntry {
         |WHERE v.event_type = 'view' AND b.event_type = 'purchase'
         |  AND b.event_id = v.event_id + 1
         |  AND v.ts <= b.ts AND epoch_us(b.ts) - epoch_us(v.ts) <= 21600000000""".stripMargin,
+    "cep_single" ->
+      // MATCH_SINGLE on signup: greedy feed-order consumption = each signup pairs with
+      // exactly its FIRST purchase within the window (purchases stay reusable). Feed
+      // order is strict ts order per key ((user_id, ts) unique at every SF), so the
+      // greedy replay is a rank-1 row_number per signup over its qualifying purchases.
+      """SELECT user_id, s_id, b_id FROM (
+        |  SELECT s.user_id AS user_id, s.event_id AS s_id, b.event_id AS b_id,
+        |         row_number() OVER (PARTITION BY s.event_id ORDER BY b.ts) AS rn
+        |  FROM events s JOIN events b ON s.user_id = b.user_id
+        |  WHERE s.event_type = 'signup' AND b.event_type = 'purchase'
+        |    AND s.ts <= b.ts AND epoch_us(b.ts) - epoch_us(s.ts) <= 259200000000
+        |) WHERE rn = 1""".stripMargin,
     "cep_seq2" ->
       """SELECT a.user_id AS user_id, a.event_id AS v_id, b.event_id AS b_id
         |FROM events a JOIN events b ON a.user_id = b.user_id

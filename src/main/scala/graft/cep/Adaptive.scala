@@ -75,6 +75,32 @@ object Adaptive {
       inv == null || inv.violated(posArgs, perWindowByType, selByNames)
   }
 
+  /** Bushy variant of [[InvariantAwareOptimizer]]: the plan is a ZStream BRACKETING and
+    * the invariants are per-subtree cost inequalities against each interval's runner-up
+    * split (reference InvariantAwareZStreamTreeBuilder,
+    * /root/reference/plan/invariant/InvariantBushyTreeBuilder.py:15-107, checked by
+    * ZStreamTreeInvariants, /root/reference/plan/invariant/Invariants.py:73-90, under
+    * InvariantsAwareOptimizer.should_optimize, Optimizer.py:120-121). Use the returned
+    * tree via `Orders.FixedTree` / `Compiler.compile`; the swap machinery applies
+    * unchanged when [[shouldReplan]] fires. */
+  final class InvariantAwareZStreamOptimizer(posArgs: List[PStruct],
+                                             greedyOrder: Boolean = false) extends Serializable {
+    private var inv: Orders.ZStreamInvariants = _
+    private var tree: Orders.JTree = _
+    def currentTree: Option[Orders.JTree] = Option(tree)
+    /** (Re)build the ZStream bracketing under fresh statistics, refreshing invariants. */
+    def build(perWindowByType: Map[String, Double],
+              selByNames: Map[(String, String), Double] = Map.empty): Orders.JTree = {
+      val (t, i) = Orders.zstreamWithInvariants(posArgs, perWindowByType, selByNames, greedyOrder)
+      tree = t; inv = i; t
+    }
+    /** True when no plan exists yet or some recorded subtree now costs more than its
+      * interval's runner-up bracketing under the new statistics. */
+    def shouldReplan(perWindowByType: Map[String, Double],
+                     selByNames: Map[(String, String), Double] = Map.empty): Boolean =
+      inv == null || inv.violated(posArgs, perWindowByType, selByNames)
+  }
+
   /** Replan trigger (reference StatisticsDeviationAwareOptimizer): fire when any tracked
     * statistic drifts more than `threshold` (relative) from the value at the last plan
     * build. Driver-side, cheap, deterministic. */

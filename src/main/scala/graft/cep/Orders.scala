@@ -210,15 +210,55 @@ object Orders {
     * /root/reference/plan/BushyTreeBuilders.py:72-110): best(i,j) = min over splits k of
     * best(i,k) + best(k,j) + pm(i..j). Only contiguous suborders are bracketed, so leaves
     * keep their order; O(n^3) suborder-split pairs. */
-  private def zStreamTree(z: ZStream, posArgs: List[PStruct]): JTree = {
+  private def zStreamTree(z: ZStream, posArgs: List[PStruct]): JTree =
+    zstreamWithInvariants(posArgs, z.perWindowByType, z.selByNames, z.greedyOrder)._1
+
+  /** Invariants certifying a ZStream bushy bracketing (reference ZStreamTreeInvariants,
+    * /root/reference/plan/invariant/Invariants.py:73-90): every internal node of the best
+    * tree with >= 3 leaves is paired with its RUNNER-UP bracketing of the same contiguous
+    * suborder (the second-cheapest top split found by the interval DP). The bracketing
+    * stays certified while every recorded subtree still costs <= its runner-up under
+    * fresh statistics — [[violated]] re-checks the |pairs| <= n-2 cost inequalities
+    * without re-running the O(n^3) DP. */
+  final case class ZStreamInvariants(pairs: List[(JTree, JTree)]) extends Serializable {
+    def violated(posArgs: List[PStruct], perWindowByType: Map[String, Double],
+                 selByNames: Map[(String, String), Double] = Map.empty): Boolean =
+      pairs.exists { case (best, second) =>
+        treeCost(best, posArgs, perWindowByType, selByNames) >
+          treeCost(second, posArgs, perWindowByType, selByNames)
+      }
+  }
+
+  /** ZStream interval DP retaining, per suborder, the second-cheapest TOP SPLIT — the
+    * reference's InvariantAwareZStreamTreeBuilder
+    * (/root/reference/plan/invariant/InvariantBushyTreeBuilder.py:15-107). The tree is
+    * IDENTICAL to [[ZStream]]'s (same DP, asserted by OrdersSpec); the invariants cover
+    * exactly the best tree's internal nodes with >= 3 leaves (the reference's
+    * __get_relevant_sub_trees filter, `:95-107`). We track the TRUE second-minimum split:
+    * the reference's bookkeeping (`second_min_tree == tree` against the speculative
+    * first-split object, InvariantBushyTreeBuilder.py:74-76) can overwrite a valid
+    * runner-up with a costlier later split once the speculative tree has been displaced —
+    * the recorded pair is then not the second-min; we keep the exact one (a violated
+    * check against the true second-min certifies the subtree is still the interval's DP
+    * optimum w.r.t. its top split).
+    *
+    * `greedyOrder = false` mirrors the reference builder, whose initial order is the
+    * IDENTITY (`_get_initial_order`, `:92-94`) precisely so the certified object — the
+    * bracketing of a FIXED order — does not itself drift with statistics; with
+    * `greedyOrder = true` the invariants certify the bracketing of the order computed at
+    * build time only. */
+  def zstreamWithInvariants(posArgs: List[PStruct], perWindowByType: Map[String, Double],
+                            selByNames: Map[(String, String), Double] = Map.empty,
+                            greedyOrder: Boolean = false): (JTree, ZStreamInvariants) = {
     val order: IndexedSeq[Int] =
-      if (z.greedyOrder) resolve(Greedy(z.perWindowByType, z.selByNames), posArgs)
+      if (greedyOrder) resolve(Greedy(perWindowByType, selByNames), posArgs)
       else posArgs.indices.toIndexedSeq
     val n = order.length
     require(n <= 30, s"ZStream interval masks support up to 30 args, got $n")
-    if (n == 1) return JLeaf(order.head)
-    val (counts, g) = grids(posArgs, z.perWindowByType, z.selByNames)
+    if (n == 1) return (JLeaf(order.head), ZStreamInvariants(Nil))
+    val (counts, g) = grids(posArgs, perWindowByType, selByNames)
     val tree = Array.ofDim[JTree](n, n + 1)
+    val second = Array.ofDim[JTree](n, n + 1)
     val cost = Array.fill(n, n + 1)(Double.MaxValue)
     (0 until n).foreach { i => tree(i)(i + 1) = JLeaf(order(i)); cost(i)(i + 1) = counts(order(i)) }
     (2 to n).foreach { len =>
@@ -226,15 +266,35 @@ object Orders {
         val j = i + len
         val mask = (i until j).foldLeft(0)((m, t) => m | (1 << order(t)))
         val pm = pmCount(mask, counts, g)
+        var secondCost = Double.MaxValue
         var k = i + 1
         while (k < j) {
           val c = cost(i)(k) + cost(k)(j) + pm
-          if (c < cost(i)(j)) { cost(i)(j) = c; tree(i)(j) = JNode(tree(i)(k), tree(k)(j)) }
+          val t = JNode(tree(i)(k), tree(k)(j))
+          if (c < cost(i)(j)) {
+            second(i)(j) = tree(i)(j); secondCost = cost(i)(j)
+            tree(i)(j) = t; cost(i)(j) = c
+          } else if (c < secondCost) { second(i)(j) = t; secondCost = c }
           k += 1
         }
       }
     }
-    tree(0)(n)
+    // pair each >=3-leaf internal node of the BEST tree with its interval's runner-up;
+    // children of interval (i,j) cover (i, i+|left|) and (i+|left|, j) — leaves stay
+    // contiguous, so the walk recovers each node's interval from subtree sizes
+    val pairs = List.newBuilder[(JTree, JTree)]
+    def collect(i: Int, j: Int): Unit =
+      if (j - i >= 3) {
+        pairs += ((tree(i)(j), second(i)(j)))
+        tree(i)(j) match {
+          case JNode(l, _) =>
+            val k = i + l.indices.length
+            collect(i, k); collect(k, j)
+          case _ => ()
+        }
+      }
+    collect(0, n)
+    (tree(0)(n), ZStreamInvariants(pairs.result()))
   }
 
   /** Invariants certifying a greedy order (reference GreedyTreeInvariants,

@@ -73,6 +73,26 @@ class AdaptiveSpec extends AnyFunSuite {
     assert(opt.build(flipped, sel).head == 0, "A leads after the flip")
   }
 
+  test("invariant-aware ZStream optimizer replans only when the bracketing flips") {
+    val posArgs = List[PStruct](P("A", "a"), P("B", "b"), P("C", "c"), P("D", "d"))
+    val pw = Map("A" -> 100.0, "B" -> 100.0, "C" -> 100.0, "D" -> 100.0)
+    val sel = Map(("a", "b") -> 0.001, ("c", "d") -> 0.001)
+    val opt = new Adaptive.InvariantAwareZStreamOptimizer(posArgs)
+    assert(opt.shouldReplan(pw, sel), "no plan yet -> always plan")
+    val t0 = opt.build(pw, sel)
+    assert(t0 == Orders.resolveTree(Orders.ZStream(pw, sel), posArgs))
+    // uniform 10x drift: the deviation selector would fire, the bracketing provably holds
+    val uniform = Map("A" -> 1000.0, "B" -> 1000.0, "C" -> 1000.0, "D" -> 1000.0)
+    val dev = new Adaptive.DeviationAwareSelector(0.5)
+    dev.shouldReplan(pw)
+    assert(dev.shouldReplan(uniform), "sanity: deviation trigger fires on this drift")
+    assert(!opt.shouldReplan(uniform, sel), "no invariant violated -> keep the bracketing")
+    // the (a,b) pair loses its selectivity: recorded runner-up beats the bracketing
+    val selDrift = Map(("c", "d") -> 0.001)
+    assert(opt.shouldReplan(pw, selDrift))
+    assert(opt.build(pw, selDrift) != t0, "replan yields a different bracketing")
+  }
+
   test("deviation-aware selector fires on drift, stays quiet when stable") {
     val sel = new Adaptive.DeviationAwareSelector(0.5)
     assert(sel.shouldReplan(Map("A" -> 100.0, "B" -> 10.0))) // first sight always plans

@@ -194,6 +194,33 @@ class OrdersSpec extends AnyFunSuite {
     assert(inv.violated(posArgs, Map("A" -> 4.0, "B" -> 20.0, "C" -> 5.0), sel))
   }
 
+  test("ZStream invariants: identical tree to ZStream; violated exactly when the bracketing flips") {
+    val posArgs = List[PStruct](P("A", "a"), P("B", "b"), P("C", "c"), P("D", "d"))
+    val pw = Map("A" -> 100.0, "B" -> 100.0, "C" -> 100.0, "D" -> 100.0)
+    val sel = Map(("a", "b") -> 0.001, ("c", "d") -> 0.001)
+    val (t, inv) = Orders.zstreamWithInvariants(posArgs, pw, sel)
+    assert(t == Orders.resolveTree(Orders.ZStream(pw, sel), posArgs), "same DP, same tree")
+    // recorded pairs: best subtree never costlier than its runner-up at build stats
+    assert(inv.pairs.nonEmpty)
+    assert(inv.pairs.forall { case (b, s) =>
+      Orders.treeCost(b, posArgs, pw, sel) <= Orders.treeCost(s, posArgs, pw, sel) })
+    assert(!inv.violated(posArgs, pw, sel), "own statistics never violate")
+    // uniform 10x rate drift: every node cost scales but the (AB)(CD) bracketing stays
+    // ahead of its runner-up — certified, no replan needed
+    val uniform = Map("A" -> 1000.0, "B" -> 1000.0, "C" -> 1000.0, "D" -> 1000.0)
+    assert(!inv.violated(posArgs, uniform, sel))
+    // the (a,b) pair loses its selectivity: the recorded runner-up (a left-nested spine
+    // isolating A) now beats (AB)(CD) — violated, replan produces a different tree
+    val selDrift = Map(("c", "d") -> 0.001)
+    assert(inv.violated(posArgs, pw, selDrift))
+    val (t2, _) = Orders.zstreamWithInvariants(posArgs, pw, selDrift)
+    assert(t2 != t)
+    // output invariance through the engine for the certified bracketing
+    val events = randomEvents(120)
+    val p = Pattern(SEQ(P("A", "a"), P("B", "b"), P("C", "c"), P("D", "d")), CTrue, 40 * MIN)
+    assert(run(p, events, Orders.FixedTree(t)) == run(p, events, Orders.Trivial))
+  }
+
   test("statistic negation placement: frequent negative stacks deepest; output-invariant") {
     def negChain(cp: CompiledPattern): List[String] = {
       def walk(s: Spec): List[String] = s match {

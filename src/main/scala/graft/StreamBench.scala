@@ -127,6 +127,10 @@ object StreamBench {
       System.err.println(s"[streambench] rep=$rep wall=$wall phase totals ms: " +
         phaseTotals.toSeq.sortBy(-_._2).mkString(", "))
       System.err.println(s"[streambench] rep=$rep processKey: ${StreamEvaluator.Prof.summary}")
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        listener.batches.foreach(b => System.err.println(s"[streambench-debug] batch=${b.batchId} " +
+          s"rows=${b.inputRows} wm=${b.watermark} dropped=${b.durationMs.getOrElse("droppedByWatermark", 0L)} " +
+          s"state=${b.stateRows} matches=${b.observed.getOrElse("cep.n_matches", 0L)}"))
       StreamEvaluator.Prof.reset()
       val durs = listener.batches.filter(_.inputRows > 0)
         .map(b => b.inputRows / math.max(1e-9, b.processedRowsPerSec)).sorted
@@ -156,9 +160,13 @@ object StreamBench {
     val wmResult = if (ordered) Some(runOnce(reps + 1, orderedRun = false)) else None
     val (st1, tt1) = stealJiffies()
     val best = results.minBy(_.wall)
-    // sanity: the streaming result must equal the batch result on the same input
+    // sanity: the streaming result must equal the batch result on the same input —
+    // HARD assert (a silent 13-match shortfall from epoch-0 events hitting the initial
+    // watermark survived three rounds as a print-only check)
     val batchMatches = graft.cep.spark.BatchEvaluator.evaluate(evs, patterns).count()
     require(results.forall(_.matches == best.matches), s"rep match counts differ: $results")
+    require(best.matches == batchMatches,
+      s"stream matches ${best.matches} != batch matches $batchMatches")
     wmResult.foreach(r => require(r.matches == best.matches,
       s"watermark-mode matches ${r.matches} != ordered-mode ${best.matches}"))
     val stealPct = 100.0 * (st1 - st0) / math.max(1, tt1 - tt0)

@@ -90,7 +90,7 @@ final class CepQueryListener extends StreamingQueryListener {
       else {
         val s = p.stateOperators(0)
         Map("stateUpdateMs" -> s.allUpdatesTimeMs, "stateRemovalMs" -> s.allRemovalsTimeMs,
-          "stateCommitMs" -> s.commitTimeMs)
+          "stateCommitMs" -> s.commitTimeMs, "droppedByWatermark" -> s.numRowsDroppedByWatermark)
       }
     val observed = {
       val m = Map.newBuilder[String, Long]

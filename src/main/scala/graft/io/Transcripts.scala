@@ -54,7 +54,13 @@ object Transcripts {
       if (c == 0 && nConvs > 1) math.max(baseTurns,
         (hotShare / (1 - hotShare) * 31.5 * (nConvs - 1)).toInt)
       else baseTurns
-    val startMicros = (math.abs(convId.hashCode) % 100000).toLong * 60L * 1000000L
+    // +1 day epoch offset: a conversation whose hash lands at slot 0 would otherwise
+    // start at EXACTLY epoch 0, and Structured Streaming's INITIAL watermark (also 0)
+    // drops epoch-0 events as late before the first batch ever runs — 2 rows / 13 matches
+    // silently short at 100k convs until the per-batch droppedByWatermark metric caught
+    // it. Real streams never carry 1970-01-01T00:00:00.000000; keep the corpus off that
+    // degenerate boundary instead of fighting Spark's watermark semantics.
+    val startMicros = ((math.abs(convId.hashCode) % 100000).toLong + 1440L) * 60L * 1000000L
     var ts = startMicros
     val tools = Array("search", "code", "fetch", "calc")
     (0 until nTurns).map { i =>

@@ -112,6 +112,12 @@ object Bench {
           try fn(spark, dir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
         }
+        // Queries that cache intermediates (shingles, cluster rounds) never unpersist —
+        // their lifecycle belongs to the caller. Clear between queries so leaked blocks
+        // from query k don't tax query k+1 with eviction/GC pressure (measured ~1.5 s on
+        // d_dup_clusters following the shingle-caching queries); codegen/plan caches
+        // survive, so the warmup pass keeps its effect.
+        spark.catalog.clearCache()
         name -> dt
       }
     // Warm at the smallest SF: same plans -> same codegen cache entries, a fraction of the

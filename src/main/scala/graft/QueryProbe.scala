@@ -25,6 +25,7 @@ object QueryProbe {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, warmDir).count()
+      spark.catalog.clearCache() // match Bench: no leaked per-query caches across probes
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()

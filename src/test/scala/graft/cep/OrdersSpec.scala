@@ -221,6 +221,43 @@ class OrdersSpec extends AnyFunSuite {
     assert(run(p, events, Orders.FixedTree(t)) == run(p, events, Orders.Trivial))
   }
 
+  test("ZStream invariants property: a violation always implies a strictly cheaper rebuild") {
+    // Provable guarantee behind the trigger: violated means some recorded subtree now
+    // costs MORE than its interval's runner-up; swapping just that subtree inside the old
+    // tree leaves every ancestor's pm term unchanged (pm depends only on the leaf SET),
+    // so a strictly cheaper full tree exists and the DP rebuild can only match or beat
+    // it. (The converse is NOT guaranteed — invariants are necessary-condition
+    // certificates over the best tree's intervals, same as the reference's.)
+    val posArgs = List[PStruct](P("A", "a"), P("B", "b"), P("C", "c"), P("D", "d"), P("E", "e"))
+    val types = List("A", "B", "C", "D", "E")
+    val names = List("a", "b", "c", "d", "e")
+    val rnd = new scala.util.Random(11)
+    def randStats(): (Map[String, Double], Map[(String, String), Double]) = {
+      val pw = types.map(t => t -> (1.0 + rnd.nextInt(1000))).toMap
+      val sel = (for { i <- 0 until 5; j <- i + 1 until 5 if rnd.nextInt(3) == 0 }
+        yield (names(i), names(j)) -> math.pow(10, -1 - rnd.nextInt(3))).toMap
+      (pw, sel)
+    }
+    var violatedSeen = 0
+    var strict = 0
+    (1 to 300).foreach { _ =>
+      val (pw0, sel0) = randStats()
+      val (t0, inv) = Orders.zstreamWithInvariants(posArgs, pw0, sel0)
+      assert(!inv.violated(posArgs, pw0, sel0), "own statistics never violate")
+      val (pw1, sel1) = randStats()
+      if (inv.violated(posArgs, pw1, sel1)) {
+        violatedSeen += 1
+        val (t1, _) = Orders.zstreamWithInvariants(posArgs, pw1, sel1)
+        val c0 = Orders.treeCost(t0, posArgs, pw1, sel1)
+        val c1 = Orders.treeCost(t1, posArgs, pw1, sel1)
+        assert(c1 <= c0 * (1 + 1e-9), s"rebuild regressed: $c1 > $c0")
+        if (c1 < c0 * (1 - 1e-9)) strict += 1
+      }
+    }
+    assert(violatedSeen >= 30, s"want a meaningful violated sample, got $violatedSeen")
+    assert(strict >= violatedSeen * 9 / 10, s"want mostly strict improvements: $strict/$violatedSeen")
+  }
+
   test("statistic negation placement: frequent negative stacks deepest; output-invariant") {
     def negChain(cp: CompiledPattern): List[String] = {
       def walk(s: Spec): List[String] = s match {

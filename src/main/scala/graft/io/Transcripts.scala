@@ -29,6 +29,11 @@ object Transcripts {
     else if (role == "assistant") "ASSISTANT"
     else "SYSTEM"
 
+  /** Generator content version — BUMP whenever generated output changes in any way
+    * (Bench reuses on-disk corpora whose marker carries this tag; a stale tag would
+    * silently benchmark old data). v2 = the +1 day epoch offset. */
+  val GenVersion = "gen-v2"
+
   /** Deterministic seeded generator (seed fixed per conversation so generation is
     * order-independent and parallelizable). ~30% of turns land in one hot conversation to
     * exercise skew handling; duplicate-timestamp pairs are injected to exercise the SEQ

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftfn.{DotProduct, Fnv1a64, SimhashAgg, WrappingAffine}
+import org.apache.spark.sql.graftfn.{DotProduct, Fnv1a64, NnTop1Agg, SimhashAgg, WrappingAffine}
 
 /** Public registration/API surface for the custom vector expressions
   * (see org.apache.spark.sql.graftfn.DotProduct). */
@@ -28,6 +28,10 @@ object VectorFunctions {
       FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimhashAgg].getName, "simhash_agg"),
       (children: Seq[Expression]) => SimhashAgg(children.head).toAggregateExpression())
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nn_top1"),
+      new ExpressionInfo(classOf[NnTop1Agg].getName, "nn_top1"),
+      (children: Seq[Expression]) => NnTop1Agg(children.head, children(1)).toAggregateExpression())
   }
 
   /** Column-API sugar: registers on first use, then resolves through the registry. */

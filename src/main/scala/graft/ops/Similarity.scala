@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions
 
 /**
@@ -34,11 +33,30 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
+  /** Top-1 per vec_id from a (vec_id, nn_id, sim) candidate frame, ties to the lower
+    * nn_id — as a HASH AGGREGATE, not a window: the native `nn_top1` argmax
+    * ([[org.apache.spark.sql.graftfn.NnTop1Agg]]) picks exactly what the old
+    * `row_number over (order by sim desc, nn_id)` picked. The win is partial
+    * aggregation: a window sort must SHUFFLE every candidate pair (O(n²) rows for the
+    * brute path) to sort each vec_id's partition, while the map-side combine here
+    * reduces each producing task to one 17-byte buffer per vec_id before anything hits
+    * the wire — the pair stream is consumed inside the stage that generates it, and the
+    * exchange carries ≤ n rows per task. (A `min(struct(-sim, nn_id))` spelling has the
+    * same semantics but a struct buffer forces the SortAggregate fallback, whose partial
+    * pass sorts — i.e. materializes — each task's pair block; the imperative aggregate
+    * keeps the partial side hash-based under ObjectHashAggregateExec.) */
+  private def top1(sims: DataFrame): DataFrame =
+    sims.groupBy("vec_id")
+      .agg(call_function("nn_top1", col("sim"), col("nn_id")).as("nn_id"))
+
   def bruteTop1(spark: SparkSession, sfDir: String): DataFrame =
     bruteTop1(emb(spark, sfDir))
 
   /** Exact cosine top-1 neighbor per vector (input: vec_id, v: array<double>).
-    * Ties broken by neighbor id (deterministic). */
+    * Ties broken by neighbor id (deterministic). The O(n²) pair stream is generated and
+    * consumed inside one codegen stage ([[top1]]'s map-side combine) — nothing quadratic
+    * is ever shuffled; at 100 TB the remaining cost is the broadcast of the probe side,
+    * which you chunk into query blocks (B sequential corpus scans, each linear). */
   def bruteTop1(vectors: DataFrame): DataFrame = {
     VectorFunctions.register(vectors.sparkSession)
     val e = withNorm(vectors)
@@ -47,9 +65,7 @@ object Similarity {
         col("a.vec_id").as("vec_id"),
         col("b.vec_id").as("nn_id"),
         (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("sim"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
-    sims.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("nn_id"))
+    top1(sims)
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p component d from a hash mix. */
@@ -91,10 +107,10 @@ object Similarity {
       .select(
         col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
         (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("sim"))
-      .dropDuplicates("vec_id", "nn_id")
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
-    cands.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("nn_id"))
+    // no dropDuplicates: a pair found in several tables recomputes the SAME sim from the
+    // same operands, and duplicate candidates are absorbed by top1's min aggregate — the
+    // dedup exchange the old window path needed is a shuffle this plan never pays
+    top1(cands)
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path alongside [[lshTop1]]:
@@ -170,9 +186,7 @@ object Similarity {
         col("a.pk") === col("b.cl") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
         (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("sim"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
-    sims.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("nn_id"))
+    top1(sims)
   }
 
   def embedDup(spark: SparkSession, sfDir: String, nTables: Int = 4, planesPerTable: Int = 4,

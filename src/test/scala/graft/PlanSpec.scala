@@ -35,6 +35,17 @@ class PlanSpec extends AnyFunSuite {
     assert(countExchanges(plan) == 1, s"expected exactly one Exchange:\n$plan")
   }
 
+  test("brute cosine top-1 never shuffles the quadratic pair stream") {
+    val plan = graft.ops.Similarity.bruteTop1(spark, sf).queryExecution.executedPlan.toString
+    // the O(n²) pairs must be consumed by a HASH-based partial aggregate inside the
+    // stage that produces them: a Window would shuffle n² rows, and a SortAggregate's
+    // partial pass would sort (materialize/spill) each task's pair block — nn_top1 is a
+    // TypedImperativeAggregate precisely so the plan uses ObjectHashAggregate
+    assert(!plan.contains("Window"), s"pair stream reached a window operator:\n$plan")
+    assert(!plan.contains("Sort"), s"pair stream reached a sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected hash aggregation of pairs:\n$plan")
+  }
+
   test("auto skew routing is ONE pass: the routed job has exactly one shuffle, no union") {
     import spark.implicits._
     val evs = graft.io.EventsTable.load(spark, sf)

@@ -115,35 +115,33 @@ object Rip {
     evaluatePaned(events.filter(col("etype").isin(types: _*)), patterns, paneMicros, hotKeys = None)
   }
 
-  /** The single paned pass behind both entry points. `hotKeys = None` salts every key
-    * (evaluateSalted); `Some(keys)` salts only those keys and routes the rest through a
-    * sentinel pane in the SAME shuffle — the cold side then has exactly the plain path's
-    * per-key grouping (one group per key, no replication, no owner filtering). */
-  private def evaluatePaned(filtered: Dataset[Ev], patterns: Seq[Pattern], paneMicros: Long,
-                            hotKeys: Option[Array[String]]): Dataset[CepMatch] = {
-    val spark = filtered.sparkSession
-    import spark.implicits._
-    val window = patterns.map(_.windowMicros).max
-    require(paneMicros >= window, s"pane width $paneMicros must be >= max pattern window $window")
-    require(patterns.forall(p =>
-      p.policy.single.isEmpty && p.policy.freeze.isEmpty && p.policy.next.isEmpty),
-      "salted evaluation requires MATCH_ANY (single/freeze/next policies carry cross-pane state)")
-    val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
+  /** The replication pane-id ARRAY for each event row, computed entirely in Catalyst
+    * (codegen'd — no map-side object materialization). Windowed replication: a
+    * pane-(p-1)-owned match has firstTs < p*W and spans at most `window` (inclusive), so
+    * only events in the FIRST `window` micros of pane p can be its members; with
+    * pane = k*window the replication factor drops from 2 to 1 + 1/k. The p+1 replica
+    * (negatives preceding a match's first positive) is likewise needed only for
+    * negative-TYPE events in the LAST `window` of the pane — and only when some pattern's
+    * shape admits such a negative ([[negCanPrecedeFirstPositive]]).
+    *
+    * Hot gating: `hotKeys = None` replicates every key (unconditional salting);
+    * `Some(keys)` replicates only those keys and collapses the rest to the single
+    * [[ColdPane]] sentinel — ONE key test per row (the conditional wraps the whole pane
+    * array) inside the same codegen'd projection, so the cold majority pays a string
+    * compare and skips the pane arithmetic entirely.
+    *
+    * Shared by the batch path below and [[StreamEvaluator.evaluateSalted]] — the
+    * streaming salted path replicates with exactly the same Catalyst expression. */
+  private[spark] def paneArray(compiled: IndexedSeq[CompiledPattern], window: Long,
+                               paneMicros: Long, hotKeys: Option[Array[String]]): Column = {
     val backPane = compiled.exists(negCanPrecedeFirstPositive)
-    /** Event types bound under some NOT across the patterns — the only events a pane ever
-      * needs from its FOLLOWING pane (a match's positives all lie at/after its firstTs;
-      * only an invalidating negative may precede it). */
+    // Event types bound under some NOT across the patterns — the only events a pane ever
+    // needs from its FOLLOWING pane (a match's positives all lie at/after its firstTs;
+    // only an invalidating negative may precede it).
     val negETypes: Set[String] = compiled.flatMap { cp =>
       val negSlots = cp.nodes.collect { case n: NegSpec => n.neg.slots }.flatten.toSet
       cp.nodes.collect { case l: LeafSpec if negSlots(l.slot) => l.etype }
     }.toSet
-
-    // Windowed replication, computed entirely in Catalyst (codegen'd — no map-side object
-    // materialization): a pane-(p-1)-owned match has firstTs < p*W and spans at most
-    // `window` (inclusive), so only events in the FIRST `window` micros of pane p can be
-    // its members; with pane = k*window the replication factor drops from 2 to 1 + 1/k.
-    // The p+1 replica (negatives preceding a match's first positive) is likewise needed
-    // only for negative-TYPE events in the LAST `window` of the pane.
     val paneLit = lit(paneMicros)
     // floorDiv(ts, pane) — SQL `div` truncates toward zero, so shift negatives by one.
     val p = when(col("ts") >= 0, expr(s"ts div ${paneMicros}L"))
@@ -155,14 +153,33 @@ object Rip {
         when(col("etype").isin(negETypes.toSeq: _*) && offset >= paneLit - lit(window), p + 1L)
       else lit(null).cast("long")
     val salted = array_compact(array(p, prevRep, nextRep))
-    // Hot gating: on the salted path every key is hot; on the auto path only flagged keys
-    // replicate — cold keys collapse to the single sentinel pane. ONE key test per row
-    // (the conditional wraps the whole pane array), inside the same codegen'd projection:
-    // the cold majority pays a string compare and skips the pane arithmetic entirely.
-    val panes: Column = hotKeys match {
+    hotKeys match {
       case None     => salted
       case Some(ks) => when(col("key").isin(ks.toSeq: _*), salted).otherwise(array(lit(ColdPane)))
     }
+  }
+
+  /** Guard shared by the batch and streaming salted paths. */
+  private[spark] def requireSaltable(patterns: Seq[Pattern], paneMicros: Long): Unit = {
+    val window = patterns.map(_.windowMicros).max
+    require(paneMicros >= window, s"pane width $paneMicros must be >= max pattern window $window")
+    require(patterns.forall(p =>
+      p.policy.single.isEmpty && p.policy.freeze.isEmpty && p.policy.next.isEmpty),
+      "salted evaluation requires MATCH_ANY (single/freeze/next policies carry cross-pane state)")
+  }
+
+  /** The single paned pass behind both entry points. `hotKeys = None` salts every key
+    * (evaluateSalted); `Some(keys)` salts only those keys and routes the rest through a
+    * sentinel pane in the SAME shuffle — the cold side then has exactly the plain path's
+    * per-key grouping (one group per key, no replication, no owner filtering). */
+  private def evaluatePaned(filtered: Dataset[Ev], patterns: Seq[Pattern], paneMicros: Long,
+                            hotKeys: Option[Array[String]]): Dataset[CepMatch] = {
+    val spark = filtered.sparkSession
+    import spark.implicits._
+    requireSaltable(patterns, paneMicros)
+    val window = patterns.map(_.windowMicros).max
+    val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
+    val panes: Column = paneArray(compiled, window, paneMicros, hotKeys)
     filtered
       .toDF()
       .select(BatchEvaluator.EvCols.map(col): _*)

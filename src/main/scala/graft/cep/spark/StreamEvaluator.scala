@@ -94,6 +94,85 @@ object StreamEvaluator {
         processKey(compiled, maxWindowMs, assumeOrdered, oldCompiled))
   }
 
+  /** Streaming skew handling: the north rule's "salted repartitioning with a merge
+    * stage" ON THE STREAM — [[Rip]]'s RIP time-pane salting applied to the stateful
+    * path. Under plain [[evaluate]] a hot conversation serializes on one state-store
+    * key: every micro-batch, one task deserializes that key's ever-larger engine
+    * snapshot, feeds the hot key's entire batch share, and rewrites the snapshot. Here
+    * each event row is exploded to its replication panes by the SAME Catalyst pane
+    * array the batch path uses ([[Rip.paneArray]]: replication factor 1 + window/pane,
+    * negative-type back-replication only when the pattern shape admits a negative
+    * before the first positive), and state is keyed by (key, pane) — the hot
+    * conversation's state and per-batch work fan out over ceil(span/pane) parallel
+    * state keys, each bounded by pane + window micros of events. The merge stage is the
+    * owner filter: a match is emitted only by the pane containing its firstTs (the
+    * sentinel cold pane owns everything), so each match appears exactly once.
+    *
+    * `hotKeys = None` salts every key; `Some(keys)` replicates only those keys and
+    * routes the rest through the sentinel pane IN THE SAME shuffle — cold keys then
+    * have exactly the plain path's per-key grouping (no replication, no owner filter).
+    * Streaming cannot pre-scan the input to detect hot keys the way
+    * [[Rip.evaluateAuto]] does; supply the hot set from prior statistics
+    * ([[Stats.arrivalRates]] over history, or a batch detection pass) and restart the
+    * query to re-route — routing is never a correctness decision, both paths produce
+    * identical matches for any key.
+    *
+    * Pane state lifecycle needs no extra machinery: a pane's engine goes quiescent once
+    * the watermark passes its last event + window (pruneExpired + isQuiescent in
+    * [[step]]), so the state store holds ~(1 + window/pane) live pane entries per hot
+    * key, not its history. Same MATCH_ANY-only restriction as batch salting
+    * (single/freeze/next consumption policies carry cross-pane state). Checkpoint
+    * resume works unchanged — (key, pane) is just the grouping key. Plan-change
+    * migration (`previousOrder`) is not offered on this path: changing pattern shape
+    * or pane width re-keys the state; restart skewed queries from a fresh checkpoint. */
+  def evaluateSalted(
+      events: Dataset[Ev],
+      patterns: Seq[Pattern],
+      paneMicros: Long,
+      delay: String = "10 seconds",
+      hotKeys: Option[Seq[String]] = None,
+      assumeOrdered: Boolean = false,
+      order: Orders.Strategy = Orders.Trivial): Dataset[CepMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    Rip.requireSaltable(patterns, paneMicros)
+    val window = patterns.map(_.windowMicros).max
+    val compiled = patterns.flatMap(p => Compiler.compile(p, order)).toIndexedSeq
+    val types = compiled.flatMap(_.relevantTypes).distinct
+    val maxWindowMs = compiled.map(_.windowMicros).max / 1000L
+    val panes = Rip.paneArray(compiled, window, paneMicros, hotKeys.map(_.toArray))
+    events
+      .filter(col("etype").isin(types: _*))
+      .withColumn("eventTime", timestamp_micros(col("ts")))
+      .withWatermark("eventTime", delay)
+      .withColumn("pane", explode(panes))
+      .as[PanedEv]
+      .groupByKey(pe => (pe.key, pe.pane))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        processPane(compiled, maxWindowMs, assumeOrdered, paneMicros))
+  }
+
+  /** [[processKey]] plus the owner-pane merge: only matches whose firstTs falls in the
+    * group's pane are emitted (the cold sentinel pane owns the whole time line). */
+  private def processPane(compiled: IndexedSeq[CompiledPattern], maxWindowMs: Long,
+                          assumeOrdered: Boolean, paneMicros: Long)(
+      key: (String, Long),
+      rows: Iterator[PanedEv],
+      state: GroupState[Array[Byte]]): Iterator[CepMatch] = {
+    val res = step(compiled, maxWindowMs, assumeOrdered, state.getOption,
+      rows.map(_.toEv).toVector, state.getCurrentWatermarkMs())
+    res.state match {
+      case Some(bytes) =>
+        state.update(bytes)
+        res.wakeAtMs.foreach(state.setTimeoutTimestamp)
+      case None => state.remove()
+    }
+    val (lo, hi) =
+      if (key._2 == Rip.ColdPane) (Long.MinValue, Long.MaxValue)
+      else (key._2 * paneMicros, key._2 * paneMicros + paneMicros)
+    res.matches.iterator.filter(m => m.firstTs >= lo && m.firstTs < hi)
+  }
+
   /** One per-key state transition: (stored state, incoming events, watermark) ->
     * (matches, new state bytes or None when the key goes quiescent, next wakeup time).
     * Shared verbatim by the flatMapGroupsWithState path and the transformWithState path —
@@ -288,6 +367,15 @@ object StreamEvaluator {
         new CepStatefulProcessor(compiled, maxWindowMs, assumeOrdered, oldCompiled),
         TimeMode.EventTime(), OutputMode.Append())
   }
+}
+
+/** An [[Ev]] tagged with its replication pane — the typed row of the streaming salted
+  * path ([[StreamEvaluator.evaluateSalted]]). Field order mirrors Ev so the post-explode
+  * frame maps by name. */
+private[spark] final case class PanedEv(key: String, idx: Long, etype: String, ts: Long,
+                                        num: Double, s1: String, s2: String, prob: Double,
+                                        pane: Long) {
+  def toEv: Ev = Ev(key, idx, etype, ts, num, s1, s2, prob)
 }
 
 /** transformWithState plumbing around [[StreamEvaluator.step]]: byte-array ValueState for

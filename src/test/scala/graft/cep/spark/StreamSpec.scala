@@ -247,6 +247,124 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming salted (pane fan-out) equals batch under slicing, incl. back-pane negation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.cep.PStruct._
+    val MIN = SparkT.MIN
+    // AND(a, NOT(b), c) admits a negative up to `window` BEFORE the match's first
+    // positive — the shape that needs back-pane replication; the crafted trio straddles
+    // a pane boundary exactly (b at 3p-1, a at 3p, c at 3p+1) so the kill only happens
+    // if b's back-replica reaches pane 3.
+    val andNot = Pattern(
+      AND(P("USER", "a"), NOT(P("TOOL", "b")), P("ASSISTANT", "c")),
+      CTrue, windowMicros = 5 * MIN, id = 3)
+    val pane = 10 * MIN
+    val allPatterns = patterns :+ andNot
+    val turns = Transcripts.generate(nConvs = 12)
+    val trio = Seq(
+      Ev("k-boundary", 0, "TOOL", 3 * pane - 1, 0, null, null),
+      Ev("k-boundary", 1, "USER", 3 * pane, 0, null, null),
+      Ev("k-boundary", 2, "ASSISTANT", 3 * pane + 1, 0, null, null))
+    val evs = (Transcripts.toEv(Transcripts.toDs(spark, turns)).collect().toSeq ++ trio)
+      .sortBy(e => (e.ts, e.idx))
+    val maxTs = evs.map(_.ts).max
+
+    val input = MemoryStream[Ev]
+    val out = StreamEvaluator.evaluateSalted(input.toDS(), allPatterns, paneMicros = pane,
+      delay = "5 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("cepsalted").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    evs.grouped(43).foreach { s => input.addData(s); query.processAllAvailable() }
+    input.addData(sentinel(maxTs)); query.processAllAvailable()
+    input.addData(sentinel(maxTs + 1)); query.processAllAvailable()
+    val got = canon(dropSentinel(spark.table("cepsalted").as[CepMatch].collect().toSeq))
+    query.stop()
+
+    val want = canon(dropSentinel(
+      BatchEvaluator.evaluate(spark.createDataset(evs), allPatterns).collect().toSeq))
+    assert(want.nonEmpty)
+    // negPattern (id 1) legitimately matches on k-boundary (its NOT sits between u and a;
+    // the TOOL event precedes u) — only the AND-NOT pattern must be killed by the
+    // back-replicated b.
+    assert(got.forall(m => !(m._1 == "k-boundary" && m._2 == 3)),
+      "the boundary-straddling b must kill the AND-NOT match")
+    assert(got == want)
+  }
+
+  test("streaming hot-set routing: only listed keys fan out, output equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val turns = Transcripts.generate(nConvs = 12)
+    val evs = Transcripts.toEv(Transcripts.toDs(spark, turns)).collect().toSeq.sortBy(e => (e.ts, e.idx))
+    val maxTs = evs.map(_.ts).max
+
+    val input = MemoryStream[Ev]
+    val out = StreamEvaluator.evaluateSalted(input.toDS(), patterns,
+      paneMicros = 10 * SparkT.MIN, delay = "5 seconds", hotKeys = Some(Seq("conv-00000")))
+    val query = out.writeStream
+      .format("memory").queryName("cephotset").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    evs.grouped(47).foreach { s => input.addData(s); query.processAllAvailable() }
+    input.addData(sentinel(maxTs)); query.processAllAvailable()
+    input.addData(sentinel(maxTs + 1)); query.processAllAvailable()
+    val got = canon(dropSentinel(spark.table("cephotset").as[CepMatch].collect().toSeq))
+    query.stop()
+
+    val want = canon(dropSentinel(
+      BatchEvaluator.evaluate(Transcripts.toEv(Transcripts.toDs(spark, turns)), patterns).collect().toSeq))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("streaming salted checkpoint resume: kill and restart equals batch") {
+    import spark.implicits._
+    val turns = Transcripts.generate(nConvs = 10)
+    val evs = Transcripts.toEv(Transcripts.toDs(spark, turns)).collect().toSeq.sortBy(e => (e.ts, e.idx))
+    val maxTs = evs.map(_.ts).max
+    val dir = Files.createTempDirectory("cepsaltedresume")
+    val srcDir = s"$dir/src"; val ckpt = s"$dir/ckpt"; val outDir = s"$dir/out"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val schema = spark.emptyDataset[Ev].schema
+    def writeSlice(slice: Seq[Ev], n: Int): Unit =
+      spark.createDataset(slice).repartition(1).write.parquet(s"$srcDir/batch$n")
+    val half = evs.length / 2
+    writeSlice(evs.take(half), 0)
+    def startQuery() = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/batch*").as[Ev]
+      StreamEvaluator.evaluateSalted(src, patterns, paneMicros = 10 * SparkT.MIN,
+          delay = "5 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    writeSlice(evs.drop(half), 1)
+    writeSlice(Seq(sentinel(maxTs)), 2)
+    writeSlice(Seq(sentinel(maxTs + 1)), 3)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = canon(dropSentinel(spark.read.parquet(outDir).as[CepMatch].collect().toSeq))
+    val want = canon(dropSentinel(
+      BatchEvaluator.evaluate(Transcripts.toEv(Transcripts.toDs(spark, turns)), patterns).collect().toSeq))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("streaming salted rejects consumption-policy patterns") {
+    import spark.implicits._
+    val p = flagship.copy(policy = Policy(single = Set("TOOL")))
+    val e = intercept[IllegalArgumentException] {
+      StreamEvaluator.evaluateSalted(spark.emptyDataset[Ev], Seq(p), paneMicros = 10 * SparkT.MIN)
+    }
+    assert(e.getMessage.contains("MATCH_ANY"))
+  }
+
   test("checkpoint resume: kill and restart yields exactly the batch result (exactly-once sink)") {
     import spark.implicits._
     val turns = Transcripts.generate(nConvs = 10)

@@ -67,7 +67,10 @@ object StreamBench {
     // the text field alone measured ~2x the whole engine feed); pruning is the streaming
     // analogue of relational column pruning, which Catalyst cannot do through a typed
     // stateful operator.
-    val evs = Transcripts.toEv(Transcripts.generateDs(spark, convs))
+    // SPARK_GRAFT_HOT_SHARE > default 0.3 builds a cliff-style corpus (conv-00000 holds
+    // that share of all turns) for the streaming skew comparison below
+    val hotShare = sys.env.getOrElse("SPARK_GRAFT_HOT_SHARE", "0.3").toDouble
+    val evs = Transcripts.toEv(Transcripts.generateDs(spark, convs, hotShare = hotShare))
       .map(e => e.copy(s1 = null, s2 = null)).cache()
     val n = evs.count()
     // slice by time into nBatches files so watermarks advance monotonically batch to batch
@@ -110,10 +113,24 @@ object StreamBench {
         .parquet(s"$srcDir/b*").as[Ev]
       val t0 = System.nanoTime()
       val useTws = sys.env.get("SPARK_GRAFT_STREAM_API").contains("tws")
-      val q = (if (useTws)
-        StreamEvaluator.evaluateTws(src, patterns, delay = "1 minute", assumeOrdered = orderedRun)
-      else
-        StreamEvaluator.evaluate(src, patterns, delay = "1 minute", assumeOrdered = orderedRun))
+      // SPARK_GRAFT_STREAM_MODE: plain (default) | salted (every key pane-fans-out) |
+      // hotset (only conv-00000 fans out, the streaming analogue of batch auto-routing
+      // with a pre-supplied hot set). Pane = 6x window, the batch bench's replication
+      // sweet spot (factor 1.17).
+      val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "plain")
+      val paneMicros = 6L * patterns.map(_.windowMicros).max
+      val q = (mode match {
+        case "salted" =>
+          StreamEvaluator.evaluateSalted(src, patterns, paneMicros, delay = "1 minute",
+            hotKeys = None, assumeOrdered = orderedRun)
+        case "hotset" =>
+          StreamEvaluator.evaluateSalted(src, patterns, paneMicros, delay = "1 minute",
+            hotKeys = Some(Seq("conv-00000")), assumeOrdered = orderedRun)
+        case _ if useTws =>
+          StreamEvaluator.evaluateTws(src, patterns, delay = "1 minute", assumeOrdered = orderedRun)
+        case _ =>
+          StreamEvaluator.evaluate(src, patterns, delay = "1 minute", assumeOrdered = orderedRun)
+      })
         .filter(col("key") =!= "zz-sentinel")
         .observe("cep", count(lit(1)).as("n_matches")) // count via metrics, not a driver sink
         .writeStream.format("noop")
@@ -177,6 +194,7 @@ object StreamBench {
         f""""mode":"${if (ordered) "ordered" else "watermark"}","text_pruned":true,""" +
         f""""store":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_STORE", "hdfs")}",""" +
         f""""api":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_API", "fmgws")}",""" +
+        f""""exec":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "plain")}","hot_share":$hotShare%.2f,""" +
         f""""raw_local_fs":true,"state_format_validation":false$wmJson,""" +
         f""""batch_matches":$batchMatches,"wall_sec":${best.wall}%.2f,"batches":${best.batches},""" +
         f""""batch_p50_sec":${best.p50}%.3f,"batch_p95_sec":${best.p95}%.3f,""" +

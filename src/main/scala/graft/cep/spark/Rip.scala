@@ -132,16 +132,19 @@ object Rip {
     *
     * Shared by the batch path below and [[StreamEvaluator.evaluateSalted]] — the
     * streaming salted path replicates with exactly the same Catalyst expression. */
-  private[spark] def paneArray(compiled: IndexedSeq[CompiledPattern], window: Long,
-                               paneMicros: Long, hotKeys: Option[Array[String]]): Column = {
-    val backPane = compiled.exists(negCanPrecedeFirstPositive)
-    // Event types bound under some NOT across the patterns — the only events a pane ever
-    // needs from its FOLLOWING pane (a match's positives all lie at/after its firstTs;
-    // only an invalidating negative may precede it).
-    val negETypes: Set[String] = compiled.flatMap { cp =>
+  /** Event types bound under some NOT across the patterns — the only events a pane ever
+    * needs from its FOLLOWING pane (a match's positives all lie at/after its firstTs;
+    * only an invalidating negative may precede it). */
+  private[spark] def negativeTypes(compiled: IndexedSeq[CompiledPattern]): Set[String] =
+    compiled.flatMap { cp =>
       val negSlots = cp.nodes.collect { case n: NegSpec => n.neg.slots }.flatten.toSet
       cp.nodes.collect { case l: LeafSpec if negSlots(l.slot) => l.etype }
     }.toSet
+
+  private[spark] def paneArray(compiled: IndexedSeq[CompiledPattern], window: Long,
+                               paneMicros: Long, hotKeys: Option[Array[String]]): Column = {
+    val backPane = compiled.exists(negCanPrecedeFirstPositive)
+    val negETypes = negativeTypes(compiled)
     val paneLit = lit(paneMicros)
     // floorDiv(ts, pane) — SQL `div` truncates toward zero, so shift negatives by one.
     val p = when(col("ts") >= 0, expr(s"ts div ${paneMicros}L"))

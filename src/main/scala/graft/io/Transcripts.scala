@@ -91,6 +91,33 @@ object Transcripts {
     spark.createDataset(turns)
   }
 
+  /** Live-source analogue of the reference's TwitterInputStream
+    * (/root/reference/plugin/twitter/TwitterInputStream.py — an unbounded external feed
+    * pumped through the same evaluation mechanisms; the real service needs credentials
+    * and egress, out of scope in this sandbox). Spark's built-in `rate` source provides
+    * the same shape — an unbounded, rate-controlled live stream with real processing-time
+    * event times — so every streaming evaluator (plain / salted / tws) can be driven
+    * against a LIVE feed, not just file replays. Turns are synthesized deterministically
+    * from the rate source's monotonic `value`: `convs` interleaved conversations, each
+    * cycling user → assistant+tool → assistant (so SEQ(USER, TOOL, ASSISTANT) patterns
+    * fire continuously), event time = the source's timestamp. Per-key turn order follows
+    * arrival order, satisfying the `assumeOrdered` contract. */
+  def liveStream(spark: SparkSession, rowsPerSecond: Int, convs: Int = 64): Dataset[Turn] = {
+    import spark.implicits._
+    val cyc = expr(s"(value div $convs) % 3")
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(
+        format_string("live-%05d", pmod(col("value"), lit(convs.toLong)).cast("int")).as("conv_id"),
+        expr(s"value div $convs").cast("int").as("turn_idx"),
+        when(cyc === 0, "user").otherwise("assistant").as("role"),
+        format_string("[live] turn %d", col("value")).as("text"),
+        when(cyc === 1, "search").otherwise(lit(null).cast("string")).as("tool"),
+        col("timestamp").as("ts"))
+      .as[Turn]
+  }
+
   /** Map transcripts to engine events: key=conv_id, idx=turn_idx, etype=classify(role,tool),
     * ts in micros, num=text length (the default numeric payload), s1=text, s2=tool. */
   def toEv(ds: Dataset[Turn]): Dataset[Ev] = {

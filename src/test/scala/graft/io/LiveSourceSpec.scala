@@ -15,10 +15,16 @@ class LiveSourceSpec extends AnyFunSuite {
 
   test("rate-source live stream feeds the CEP evaluator and produces matches") {
     import spark.implicits._
+    // Keep the workload in a bounded regime: MATCH_ANY SEQ(u,t,a) under CTrue emits
+    // O(n^3) matches per conversation for n turns inside the window. At 400 rows/s with
+    // a 10-minute window the very first micro-batches balloon past the deadline (at
+    // 40 rows/s this pattern already emits >100k matches in 20 s); 40 rows/s over a
+    // 1-minute window bounds per-batch state AND output while still exercising the
+    // unbounded-source plumbing this spec exists for.
     val p = Pattern(
       SEQ(P("USER", "u"), P("TOOL", "t"), P("ASSISTANT", "a")),
-      CTrue, windowMicros = 10 * MIN)
-    val evs = Transcripts.toEv(Transcripts.liveStream(spark, rowsPerSecond = 400, convs = 4))
+      CTrue, windowMicros = 1 * MIN)
+    val evs = Transcripts.toEv(Transcripts.liveStream(spark, rowsPerSecond = 40, convs = 4))
     // per-key arrival order == event-time order on the rate source (monotonic value ->
     // monotonic timestamp), so the ordered fast path applies and matches emit immediately
     val out = StreamEvaluator.evaluate(evs, Seq(p), delay = "1 second", assumeOrdered = true)

@@ -30,4 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Pin the heap and back it with THP: this sandbox VM intermittently services
+  // anonymous memory ops at ~40 us of kernel time each (host-side pathology — observed
+  // as stime 3x utime turning a 6 s engine micro into 12+ min). Xms=Xmx stops G1
+  // uncommit/recommit churn (pages fault in ONCE) and 2 MB pages cut the fault count
+  // 512x. AlwaysPreTouch was tried and rejected: on the sick host the eager pre-touch
+  // itself ran at ~500 MB/s of pure kernel time — a multi-minute tax on every fork.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+UseTransparentHugePages",
 )

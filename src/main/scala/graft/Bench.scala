@@ -57,6 +57,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same tmpfs shuffle dir as the BenchLevel forks: the catalog queries run in THIS
+      // JVM, and spilling to /tmp (spinning through the VM's block device) lets a host
+      // I/O stall inflate a single-pass query time the way CPU bursts do.
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-shuffle"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -16,6 +16,8 @@ object QueryProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // tmpfs shuffle, matching Bench: probes should measure the same I/O path
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-shuffle"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val warmDir = {

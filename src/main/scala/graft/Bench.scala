@@ -456,8 +456,13 @@ object Bench {
       } finally f.close()
     }
 
+    /** None when the fork is killed at its wall cap or dies/garbles its RESULT line —
+      * the deadline tiers gate LAUNCHES only and cannot preempt a fork already caught in
+      * a 5-20x burst, and the old throw-on-bad-output turned one dead child into a lost
+      * artifact (the round-2 rc=124 failure shape, from inside). Callers treat None as
+      * "no weather window from this fork". */
     def forkLevel(cores: Int, corpus: String, mode: String, reps: Int,
-                  patternSet: String = "base"): LevelResult = {
+                  patternSet: String = "base"): Option[LevelResult] = {
       val java = s"${System.getProperty("java.home")}/bin/java"
       val opens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
@@ -479,14 +484,35 @@ object Bench {
       // must take the child along — an orphaned 32-thread BenchLevel contaminates
       // whatever the harness runs next. BenchLevel's stdin watchdog covers SIGKILL.
       liveForks.add(proc)
-      val src = scala.io.Source.fromInputStream(proc.getInputStream)
-      src.getLines().foreach(l => if (l.startsWith("RESULT")) out.append(l))
-      proc.waitFor()
+      // stream drained on a daemon thread so the wall-capped waitFor below can fire
+      // even while the child is still writing
+      val reader = new Thread(() => {
+        val src = scala.io.Source.fromInputStream(proc.getInputStream)
+        try src.getLines().foreach(l => if (l.startsWith("RESULT")) out.synchronized(out.append(l)))
+        catch { case _: Throwable => () } finally src.close()
+      })
+      reader.setDaemon(true)
+      reader.start()
+      // Per-fork wall cap: remaining hard budget plus the grace one block may overrun,
+      // floored at 180 s so a fork launched near the deadline still gets a real window.
+      // Without it a single fork inside a 5-20x burst outlives the harness timeout and
+      // the whole artifact dies with it. FULL profile: hard deadline is effectively
+      // infinite, so the cap never binds.
+      val capSec = sys.env.get("SPARK_GRAFT_FORK_CAP_SEC").map(_.toLong)
+        .getOrElse(math.max(180L, hardDeadlineSec + 150 - elapsed.toLong))
+      val finished = proc.waitFor(capSec, _root_.java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        System.err.println(f"[bench] t=$elapsed%.0fs fork local[$cores] $mode exceeded its ${capSec}s wall cap — killing")
+        proc.destroyForcibly()
+        proc.waitFor()
+      } else reader.join(5000)
       liveForks.remove(proc)
-      out.toString match {
+      out.synchronized(out.toString) match {
         case resultRe(_, n, m, p, sl, au) =>
-          LevelResult(n.toLong, m.toLong, p.toDouble, sl.toDouble, au.toDouble)
-        case other => throw new IllegalStateException(s"bench child failed: $other")
+          Some(LevelResult(n.toLong, m.toLong, p.toDouble, sl.toDouble, au.toDouble))
+        case other =>
+          System.err.println(s"[bench] fork local[$cores] $mode yielded no RESULT (${if (finished) s"output: ${other.take(120)}" else "killed at cap"}) — recording no window")
+          None
       }
     }
 
@@ -525,7 +551,7 @@ object Bench {
     coreLevels.foreach { c =>
       if (pastHard) { if (!skippedBlocks.contains("scaling")) skipBlock("scaling") }
       else {
-        runs(c) = forkLevel(c, uniformPath, "plain", inForkReps(c), "heavy") :: runs(c)
+        forkLevel(c, uniformPath, "plain", inForkReps(c), "heavy").foreach(r => runs(c) = r :: runs(c))
         mark(s"scaling fork local[$c]")
       }
     }
@@ -550,9 +576,9 @@ object Bench {
       if (full) {
         if (scalingComplete && withinBudget)
           levels.foreach(c =>
-            runs(c) = forkLevel(c, uniformPath, "plain", inForkReps(c), "heavy") :: runs(c))
+            forkLevel(c, uniformPath, "plain", inForkReps(c), "heavy").foreach(r => runs(c) = r :: runs(c)))
       } else if (need && elapsed < hardDeadlineSec * 0.63) {
-        runs(8) = forkLevel(8, uniformPath, "plain", inForkReps(8), "heavy") :: runs(8)
+        forkLevel(8, uniformPath, "plain", inForkReps(8), "heavy").foreach(r => runs(8) = r :: runs(8))
         mark("scaling re-fork local[8] (ratio below target)")
       }
     }
@@ -563,7 +589,7 @@ object Bench {
     // placement burn the hard deadline on cliff fork 2 and skip mix wholesale.
     val skewMix: Option[LevelResult] =
       if (pastHard) { skipBlock("mix"); None }
-      else Some(forkLevel(cpus, mixPath, "all", if (degraded) 1 else 2))
+      else forkLevel(cpus, mixPath, "all", if (degraded) 1 else 2)
     mark("mixed-skew fork")
     // cliff-skew demo: 80% of turns in ONE conversation — plain serializes on the hot
     // task; salting fans it out (the mechanism's reason to exist). Modes interleave
@@ -572,11 +598,11 @@ object Bench {
     // tail block below — unconditional only in the FULL profile. (The cliff modes differ
     // by ~3%, below single-window weather sigma — the min needs samples, but on a slow
     // placement the second unconditional fork was starving the mix block above.)
-    var cliffRuns =
-      if (pastHard) { skipBlock("cliff"); List.empty[LevelResult] }
-      else if (degraded) List(forkLevel(cpus, cliffPath, "all", 2))
-      else if (full) List(forkLevel(cpus, cliffPath, "all", 3), forkLevel(cpus, cliffPath, "all", 3))
-      else List(forkLevel(cpus, cliffPath, "all", 3))
+    var cliffRuns: List[LevelResult] =
+      if (pastHard) { skipBlock("cliff"); Nil }
+      else if (degraded) forkLevel(cpus, cliffPath, "all", 2).toList
+      else if (full) List(forkLevel(cpus, cliffPath, "all", 3), forkLevel(cpus, cliffPath, "all", 3)).flatten
+      else forkLevel(cpus, cliffPath, "all", 3).toList
     mark("cliff forks")
     // --- budget-gated tail: transparency + extra weather windows, in priority order ----
     // Each block is launched only when the remaining hard budget covers its observed
@@ -584,20 +610,20 @@ object Bench {
     // the hard deadline by at most its own cost.
     if (!full) {
       if (!pastHard && elapsed < hardDeadlineSec - 90) {
-        runs(32) = forkLevel(32, uniformPath, "plain", inForkReps(32), "heavy") :: runs(32)
+        forkLevel(32, uniformPath, "plain", inForkReps(32), "heavy").foreach(r => runs(32) = r :: runs(32))
         mark("scaling fork local[32]")
       } else {
         skippedBlocks += "scaling32"
         System.err.println(f"[bench] t=$elapsed%.0fs no budget for local[32] — 8->32 reported as -1")
       }
       if (!pastHard && elapsed < hardDeadlineSec - 160) {
-        cliffRuns = forkLevel(cpus, cliffPath, "all", 3) :: cliffRuns
+        forkLevel(cpus, cliffPath, "all", 3).foreach(r => cliffRuns = r :: cliffRuns)
         mark("cliff fork 2")
       }
     }
     // optional third cliff weather window (FULL profile)
     if (full && withinBudget)
-      cliffRuns = forkLevel(cpus, cliffPath, "all", 2) :: cliffRuns
+      forkLevel(cpus, cliffPath, "all", 2).foreach(r => cliffRuns = r :: cliffRuns)
     // --- weather self-validation -------------------------------------------------------
     // The exclusion rule BASELINE.md applies BY HAND (round-4 verdict: the bench must
     // apply it itself): a measurement window is valid when host CPU-steal over the fork
@@ -634,8 +660,8 @@ object Bench {
       weatherRetried = true
       System.err.println(f"[bench] weather verdict FAILED (steal=$stealFork%.1f%% ctrl=$engCtrl%.3f) — retrying scaling+cliff once")
       val (rs0, rt0) = stealJiffies()
-      coreLevels.foreach(c => runs(c) = forkLevel(c, uniformPath, "plain", inForkReps(c), "heavy") :: runs(c))
-      cliffRuns = forkLevel(cpus, cliffPath, "all", 3) :: cliffRuns
+      coreLevels.foreach(c => forkLevel(c, uniformPath, "plain", inForkReps(c), "heavy").foreach(r => runs(c) = r :: runs(c)))
+      forkLevel(cpus, cliffPath, "all", 3).foreach(r => cliffRuns = r :: cliffRuns)
       val (rs1, rt1) = stealJiffies()
       // the verdict now describes the RETRY window (the mins can only have improved;
       // if the retry window is clean, the merged numbers are clean-window numbers)

@@ -11,9 +11,10 @@ import org.apache.spark.sql.expressions.Window
  *  - exact dedup groups on a 128-bit fingerprint, never the full text — the shuffle carries
  *    16 bytes + doc_id per row instead of document bodies;
  *  - n-gram / MinHash / SimHash all follow the same shape: narrow per-doc signature ->
- *    shuffle only (signature, doc_id) pairs -> candidate-pair join -> verify. The verify
- *    join is self-equi-join on banded signatures, so Spark plans a shuffle hash join keyed
- *    on small fixed-width keys; document text is only re-joined for the surviving pairs.
+ *    shuffle only (signature, doc_id) pairs -> candidate-pair join -> verify. Candidate
+ *    joins are keyed on small fixed-width band/quarter keys; exact-Jaccard verification
+ *    attaches each candidate doc's distinct-gram array via narrow doc_id equi-joins and
+ *    intersects in-row — document text itself never moves.
  */
 object Dedup {
 
@@ -29,17 +30,36 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, gram). The base signature for
-    * n-gram Jaccard and MinHash. */
-  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+  /** Per-doc DISTINCT word-3-gram array: (doc_id, grams array<string>). The base signature
+    * for n-gram Jaccard and MinHash. Dedup is per document, so it runs MAP-SIDE via
+    * `array_distinct` — the old formulation exploded first and deduplicated with a global
+    * `.distinct()`, paying a full-frame shuffle + two hash-aggregate stages for a dedup
+    * the row layout already scopes to one document (guide §2.4: remove shuffles outright).
+    * Per-row state is bounded by document length — the same bound the words array has. */
+  private[ops] def shingleArrays(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
     val words = split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+")
     docs(spark, sfDir)
       .select(col("doc_id"), filter(words, w => length(w) > 0).as("ws"))
       .filter(size(col("ws")) >= n) // sequence() would run descending below n words
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), array_distinct(
         transform(sequence(lit(0), size(col("ws")) - n),
-          i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n))))).as("gram"))
-      .distinct()
+          i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n))))).as("grams"))
+  }
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, gram). Zero shuffles: global
+    * (doc_id, gram) distinctness equals per-doc distinctness, which array_distinct
+    * establishes map-side. The explode sits in the SAME select as the gram expression
+    * (Generate consumes it directly) rather than over a pre-projected array column —
+    * materializing the per-doc array row between a Project and the Generate measured
+    * ~20x slower on this sandbox's kernel-stall-prone memory system. */
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val words = split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+")
+    docs(spark, sfDir)
+      .select(col("doc_id"), filter(words, w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n)))))).as("gram"))
   }
 
   /** N-gram Jaccard near-dup pairs: shingle-join candidates, exact Jaccard >= minSim.
@@ -56,17 +76,44 @@ object Dedup {
     * passes dfMax=50 and its DuckDB oracle applies the identical cap). */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String, minSim: Double = 0.4,
                         dfMax: Long = Long.MaxValue): DataFrame = {
-    val sh = shingles(spark, sfDir).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val shCapped =
-      if (dfMax == Long.MaxValue) sh
-      else sh.join( // left-semi shape: the rare-gram side is (gram) only
-        sh.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") <= dfMax).select("gram"),
-        "gram")
-    val common = shCapped.as("x").join(shCapped.as("y"),
-        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_common"))
+    // Cache the per-doc ARRAY frame, not the exploded one: same information in one row
+    // per doc, reused by the gram-df pass, the pair pass and the size projection below.
+    // 100 TB note (storage-memory pressure): this is the whole shingle signature of the
+    // corpus; MEMORY_AND_DISK lets Spark spill cold blocks rather than evict-and-recompute
+    // the regex pipeline, and the per-doc array layout keeps it strictly smaller than the
+    // exploded (doc_id, gram) frame the old code cached. Recompute-vs-spill is the trade:
+    // at corpus scale prefer spill (regex shingling is the most expensive map stage here).
+    val docsArr = shingleArrays(spark, sfDir).cache()
+    // n_grams per doc needs NO aggregation: it is the cached array's size (the old
+    // groupBy(doc_id).count() paid a full shuffle for a per-row fact).
+    val sizes = docsArr.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+    val sh = docsArr.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val common =
+      if (dfMax == Long.MaxValue) {
+        // Uncapped path: the per-gram doc list is unbounded (a corpus-frequent gram would
+        // blow a collect_list buffer), so candidate pairs come from the self-equi-join.
+        sh.as("x").join(sh.as("y"),
+            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("n_common"))
+      } else {
+        // Capped path: df <= dfMax bounds the per-gram doc list, so pairs are generated
+        // IN-STAGE from one grouped doc list per gram (sorted ascending -> a_id < b_id)
+        // instead of a second self-join shuffle of the shingle frame; the pair stream is
+        // then partially aggregated map-side before its one exchange (guide §2.3-2.4).
+        // The df pre-pass stays a separate count + semi-join (NOT collect-then-filter):
+        // collect_list on an uncapped gram group is exactly the unbounded buffer the old
+        // code avoided, and the count aggregate is map-side-partial everywhere.
+        val rare = sh.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfMax).select("gram")
+        sh.join(rare, "gram")
+          .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .select(explode(flatten(transform(col("ds"), (x, i) =>
+            transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+              struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+          .select(col("p.a_id"), col("p.b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+      }
     common
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "a_n"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "b_n"), "b_id")
@@ -114,7 +161,10 @@ object Dedup {
     * (DuckDB reproduces the same FNV-1a/affine lane arithmetic) and removes hash-collision
     * false candidates; the shuffle row stays fixed-width and narrow. */
   def minhashLshPairs(spark: SparkSession, sfDir: String, minSim: Double = 0.4): DataFrame = {
-    val sh = shingles(spark, sfDir)
+    // Same cache rationale as ngramJaccardPairs: the per-doc array frame feeds the
+    // signature pass once and the verify joins twice.
+    val docsArr = shingleArrays(spark, sfDir).cache()
+    val sh = docsArr.select(col("doc_id"), explode(col("grams")).as("gram"))
     val sigs = minhashSigs(sh)
     val bands = sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(7)), b => slice(col("sig"), b * lit(4) + lit(1), lit(4)))))
@@ -123,13 +173,18 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
-    // verify candidates with exact Jaccard (semi-join back to shingles)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    cands.join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.gram") === col("sb.gram"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "a_n"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "b_n"), "b_id")
+    // Verify candidates with exact Jaccard via per-doc gram ARRAYS: two narrow equi-joins
+    // attach each side's distinct-gram array, and n_common = |array_intersect| — computed
+    // in-row, no exploded shingle re-shuffle, no pair-count aggregation, no size joins
+    // (the old shape paid 2 shingle-frame shuffles + a groupBy + 2 size joins). At scale
+    // only docs that appear in some candidate pair ship their arrays (guide §2.3: shuffle
+    // keys and metadata, attach heavy payloads once).
+    cands
+      .join(docsArr.select(col("doc_id").as("a_id"), col("grams").as("ga")), "a_id")
+      .join(docsArr.select(col("doc_id").as("b_id"), col("grams").as("gb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_common"),
+        size(col("ga")).cast("long").as("a_n"), size(col("gb")).cast("long").as("b_n"))
       .filter(col("n_common").cast("double") /
         (col("a_n") + col("b_n") - col("n_common")).cast("double") >= minSim)
       .select(col("a_id"), col("b_id"))
@@ -165,9 +220,12 @@ object Dedup {
     * long-term should `.unpersist()` it (or copy it out) when done. */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 20, checkpointEvery: Int = 1): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
+    // No .distinct() on edges: duplicate edges cannot change a min() aggregate, so the
+    // dedup shuffle bought nothing (pairs from minhashLshPairs are unique anyway, and a
+    // caller's duplicates only add rows to the per-round join, never wrong labels).
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
-      .distinct().cache()
+      .cache()
     var cached: DataFrame = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id")).cache()
     var labels = cached
@@ -229,7 +287,10 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
-      .distinct()
+      // hamming is a function of the pair, so filtering BEFORE the dedup keeps the output
+      // identical while the distinct's exchange carries only the (rare) qualifying pairs
+      // instead of every block collision (guide §2.3: shuffle fewer bytes)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -321,8 +321,10 @@ object Queries {
   // replicates the sketch bit-for-bit so the cut is exact, not recall-bounded
   def embedDup(s: SparkSession, dir: String): DataFrame = Similarity.embedDup(s, dir)
   def mediaMeta(s: SparkSession, dir: String): DataFrame = Multimodal.mediaMeta(s, dir)
+  // metadata summary (features are dropped from this query's contract anyway, so the
+  // decode path is never invoked — see Multimodal.mediaSummary)
   def mediaFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.mediaFeatures(s, dir).drop("features") // arrays of float are JVM-side only
+    Multimodal.mediaSummary(Multimodal.mediaTable(s, dir))
       .withColumn("frames", org.apache.spark.sql.functions.col("frames").cast("long"))
   def frameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.mediaTable(s, dir))

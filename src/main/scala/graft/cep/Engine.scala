@@ -363,6 +363,70 @@ final class PatternStatics(cp: CompiledPattern) extends Serializable {
   val condsByNode: Array[Array[Vector[Bind] => Boolean]] =
     Array.tabulate(nodes.length)(id => nodeConds.getOrElse(id, Nil).map(compileCond).toArray)
 
+  // ---- pair-form condition evaluators (allocation-free candidate validation) -----------
+  // Identical verdicts to condsByNode over mergeBinds(a, b), evaluated over the two
+  // slot-sorted halves WITHOUT materializing the merge: the merged vector's first bind
+  // matching a slot set is the min-slot match of the two sides (ties to the a side —
+  // mergeBinds takes a(i) when a(i).slot <= b(j).slot). The join/negation loops validate
+  // every candidate pair; merging only the survivors removes a Vector allocation per
+  // candidate from the hottest engine path.
+
+  private def findBind2(a: Vector[Bind], b: Vector[Bind], slots: Array[Int]): Bind = {
+    val ba = findBind(a, slots)
+    val bb = findBind(b, slots)
+    if (ba == null) bb
+    else if (bb == null) ba
+    else if (ba.slot <= bb.slot) ba
+    else bb
+  }
+
+  /** Binding map over both halves (CSimple only — the rare n-ary lambda surface). */
+  def buildBindingPair(a: Vector[Bind], b: Vector[Bind]): Map[String, List[Ev]] = {
+    val m = Map.newBuilder[String, List[Ev]]
+    def add(bs: Vector[Bind]): Unit = bs.foreach { bd =>
+      kcNamesBySlot.get(bd.slot) match {
+        case Some(ns) => ns.foreach(nm => m += nm -> bd.evs)
+        case None     => m += bd.name -> bd.evs
+      }
+    }
+    add(a); add(b)
+    m.result()
+  }
+
+  private def compileCondPair(c: Cond): (Vector[Bind], Vector[Bind]) => Boolean = c match {
+    case CTrue => (_, _) => true
+    case CAnd(cs) => val fs = cs.map(compileCondPair).toArray; (a, b) => fs.forall(_(a, b))
+    case COr(cs)  => val fs = cs.map(compileCondPair).toArray; (a, b) => fs.exists(_(a, b))
+    case CUnary(nm, f) =>
+      val ss = slotsOfName(nm)
+      (a, b) => { val bd = findBind2(a, b, ss); bd != null && f(bd.evs.head) }
+    case CBinary(x, y, f) =>
+      val sx = slotsOfName(x); val sy = slotsOfName(y)
+      (a, b) => {
+        val bx = findBind2(a, b, sx); val by = findBind2(a, b, sy)
+        bx != null && by != null && f(bx.evs.head, by.evs.head)
+      }
+    case r: CRel =>
+      val sx = slotsOfName(r.a); val sy = slotsOfName(r.b)
+      (a, b) => {
+        val bx = findBind2(a, b, sx); val by = findBind2(a, b, sy)
+        bx != null && by != null && r.fn(bx.evs.head, by.evs.head)
+      }
+    case k: CKCIndex =>
+      val ss = slotsOfName(k.name)
+      (a, b) => { val bd = findBind2(a, b, ss); bd != null && k.evalList(bd.evs) }
+    case k: CKCValue =>
+      val ss = slotsOfName(k.name)
+      (a, b) => { val bd = findBind2(a, b, ss); bd != null && k.evalList(bd.evs) }
+    case k: CKCFn =>
+      val ss = slotsOfName(k.name)
+      (a, b) => { val bd = findBind2(a, b, ss); bd != null && k.fn(bd.evs) }
+    case cs: CSimple => (a, b) => cs.eval(buildBindingPair(a, b))
+  }
+
+  val condsByNodePair: Array[Array[(Vector[Bind], Vector[Bind]) => Boolean]] =
+    Array.tabulate(nodes.length)(id => nodeConds.getOrElse(id, Nil).map(compileCondPair).toArray)
+
   private def compileKcCond(c: Cond): List[Ev] => Boolean = c match {
     case k: CKCIndex => k.evalList
     case k: CKCValue => k.evalList
@@ -511,7 +575,7 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
   // compiled once per CompiledPattern instance (lazy), NOT per key group — a run over
   // millions of keys constructs one PatternRuntime per key
   private val statics = cp.statics
-  import statics.{condsByNode, kcCondsByNode, probePlans, sortKeyOf}
+  import statics.{condsByNode, condsByNodePair, kcCondsByNode, probePlans, sortKeyOf}
   /** Sorted-storage probes active: opt-in, and only when no state mutates per emission
     * (single/next policies consume events in emission order, shedding reorders buffers —
     * probe order must then stay arrival order for parity with the unsorted path). */
@@ -657,18 +721,50 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
       expire(otherId, pm.lastTs)
       expire(parId, pm.lastTs)
       val plan = if (useSorted) probePlans(parId) else null
-      val candidates: Array[PM] =
-        if (plan == null) bufs(otherId).toArray // copy: combinations may recursively add
-        else probeRange(bufs(otherId), pm, plan, fromLeft = fromId == b.left.id)
-      candidates.foreach { opm =>
-        // O(1) window prescreen on the cached PM bounds: skips the merge allocation for
-        // the (majority of) candidate pairs the window alone rejects; `valid` re-checks
+      val buf = bufs(otherId)
+      // O(1) window prescreen on the cached PM bounds, then the allocation-free pair
+      // validation; the merged bind vector is built ONLY for surviving pairs (the old
+      // loop paid a merge allocation per candidate just to reject it).
+      def tryCombine(opm: PM): Unit = {
         val span = math.max(pm.lastTs, opm.lastTs) - math.min(pm.firstTs, opm.firstTs)
-        if (span <= windowMicros) {
-          val merged = mergeBinds(pm.binds, opm.binds)
-          if (valid(parId, b.isSeq, merged))
-            propagate(parId, PM(merged, Joint.prob(pm.prob, opm.prob)), skipPark = false)
+        if (span <= windowMicros && validPair(parId, b.isSeq, pm.binds, opm.binds))
+          propagate(parId, PM(mergeBinds(pm.binds, opm.binds), Joint.prob(pm.prob, opm.prob)),
+            skipPark = false)
+      }
+      if (plan == null) {
+        if (mirrors == null && aliased == null) {
+          // Recursive propagation from tryCombine inserts/expires only at ANCESTOR nodes
+          // (parId and up), never at this child buffer, so with no cross-pattern sharing
+          // wired the buffer is stable for the loop — no defensive snapshot copy. With
+          // sharing, a follower runtime may mutate an aliased buffer mid-loop: keep the
+          // snapshot there.
+          val n0 = buf.length
+          var ci = 0
+          while (ci < n0) { tryCombine(buf(ci)); ci += 1 }
+        } else buf.toArray.foreach(tryCombine)
+      } else {
+        // Sorted-storage probe: iterate the key-range(s) in place (sorted storage
+        // disables sharing, and the ancestor-only-insert argument above holds, so the
+        // probed buffer cannot shift mid-loop — the old slice copies are gone).
+        val v = if (fromId == b.left.id) plan.leftKey(pm) else plan.rightKey(pm)
+        val keyO = if (fromId == b.left.id) plan.rightKey else plan.leftKey
+        val eff = if (fromId == b.left.id) plan.op else RelOp.swap(plan.op)
+        val len = buf.length
+        var f1 = 0; var u1 = 0; var f2 = 0; var u2 = 0
+        eff match {
+          case RelOp.EQ => f1 = bound(buf, keyO, v, upper = false); u1 = bound(buf, keyO, v, upper = true)
+          case RelOp.LT => f1 = bound(buf, keyO, v, upper = true); u1 = len
+          case RelOp.LE => f1 = bound(buf, keyO, v, upper = false); u1 = len
+          case RelOp.GT => u1 = bound(buf, keyO, v, upper = false)
+          case RelOp.GE => u1 = bound(buf, keyO, v, upper = true)
+          case RelOp.NE =>
+            u1 = bound(buf, keyO, v, upper = false)
+            f2 = bound(buf, keyO, v, upper = true); u2 = len
         }
+        var ci = f1
+        while (ci < u1) { tryCombine(buf(ci)); ci += 1 }
+        ci = f2
+        while (ci < u2) { tryCombine(buf(ci)); ci += 1 }
       }
     case k: KCSpec =>
       expire(k.child.id, pm.lastTs)
@@ -699,13 +795,13 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
         var i = 0
         while (i < negBuf.length && !invalidated) {
           val npm = negBuf(i)
-          // same O(1) window prescreen as the join loop before paying the merge
-          if (math.max(pm.lastTs, npm.lastTs) - math.min(pm.firstTs, npm.firstTs) <= windowMicros) {
-            val merged = mergeBinds(pm.binds, npm.binds)
-            if (valid(parId, ng.isSeq, merged)) {
-              if (npm.prob >= 0) prob = Joint.prob(prob, 1 - npm.prob)
-              else invalidated = true
-            }
+          // O(1) window prescreen, then the allocation-free pair validation — the
+          // negative check never needs the merged vector at all (nothing propagates),
+          // so the old merge allocation per in-window negative is simply gone
+          if (math.max(pm.lastTs, npm.lastTs) - math.min(pm.firstTs, npm.firstTs) <= windowMicros
+              && validPair(parId, ng.isSeq, pm.binds, npm.binds)) {
+            if (npm.prob >= 0) prob = Joint.prob(prob, 1 - npm.prob)
+            else invalidated = true
           }
           i += 1
         }
@@ -714,10 +810,7 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
         // a new negative arrived; retroactively invalidate pending matches
         // (/root/reference/tree/nodes/NegationNode.py:137-168)
         if (ng.unbounded && firstUnboundedId >= 0 && pending.nonEmpty) {
-          pending.filterInPlace { p =>
-            val merged = mergeBinds(p.binds, pm.binds)
-            !valid(parId, ng.isSeq, merged)
-          }
+          pending.filterInPlace(p => !validPair(parId, ng.isSeq, p.binds, pm.binds))
         }
       }
     case _: LeafSpec => () // leaves have no children; unreachable
@@ -727,55 +820,86 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
 
   /** Window (inclusive) + duplicate-event rejection + SEQ slot-order check + node
     * conditions (/root/reference/tree/nodes/Node.py:187-193,
-    * /root/reference/tree/nodes/InternalNode.py:22-35, /root/reference/tree/nodes/SeqNode.py:30-33). */
-  private def valid(nodeId: Int, isSeq: Boolean, merged: Vector[Bind]): Boolean = {
+    * /root/reference/tree/nodes/InternalNode.py:22-35, /root/reference/tree/nodes/SeqNode.py:30-33),
+    * evaluated over the two slot-sorted halves of a candidate pair WITHOUT materializing
+    * their merge — verdict-identical to running the old merged-vector checks on
+    * mergeBinds(a, b), allocation-free on the reject path (the overwhelming majority).
+    * The SEQ walk visits the virtual merge with two pointers; identity clashes are
+    * checked CROSS-side only: each side is either a single fresh bind or a stored PM
+    * that already passed this validation at its own creation, so within-side clashes
+    * cannot exist. Identity model unchanged: a plain bind's identity is its event
+    * serial, an aggregate's its aggId — aggregate members are deliberately NOT compared
+    * (/root/reference/tree/nodes/InternalNode.py:28-30, Bind.aggId scaladoc). */
+  private def validPair(nodeId: Int, isSeq: Boolean, a: Vector[Bind], b: Vector[Bind]): Boolean = {
     var minTs = Long.MaxValue
     var maxTs = Long.MinValue
-    merged.foreach { b =>
-      if (b.minTs < minTs) minTs = b.minTs
-      if (b.maxTs > maxTs) maxTs = b.maxTs
+    var i = 0
+    while (i < a.length) {
+      val bd = a(i)
+      if (bd.minTs < minTs) minTs = bd.minTs
+      if (bd.maxTs > maxTs) maxTs = bd.maxTs
+      i += 1
+    }
+    i = 0
+    while (i < b.length) {
+      val bd = b(i)
+      if (bd.minTs < minTs) minTs = bd.minTs
+      if (bd.maxTs > maxTs) maxTs = bd.maxTs
+      i += 1
     }
     if (maxTs - minTs > windowMicros) return false
     if (isSeq) {
-      var i = 0
-      while (i < merged.length - 1) {
-        if (merged(i).minTs > merged(i + 1).minTs) return false
-        if (merged(i).maxTs > merged(i + 1).maxTs) return false
-        i += 1
+      // adjacent-pair monotonicity over the virtual merge (a(i) first on slot ties,
+      // matching mergeBinds)
+      var ia = 0
+      var ib = 0
+      var prevMin = Long.MinValue
+      var prevMax = Long.MinValue
+      while (ia < a.length || ib < b.length) {
+        val takeA = ib >= b.length || (ia < a.length && a(ia).slot <= b(ib).slot)
+        val cur = if (takeA) { val c = a(ia); ia += 1; c } else { val c = b(ib); ib += 1; c }
+        if (prevMin > cur.minTs) return false
+        if (prevMax > cur.maxTs) return false
+        prevMin = cur.minTs
+        prevMax = cur.maxTs
       }
     }
-    // Duplicate-identity rejection, mirroring the reference's set-of-events check
-    // (/root/reference/tree/nodes/InternalNode.py:28-30) under its identity model: a plain
-    // bind's identity is its event serial, an aggregate's identity is its aggId (Bind.aggId
-    // scaladoc) — aggregates' PRIMITIVE members are deliberately NOT compared. Bind lists
-    // are tiny, so a quadratic scan beats a HashSet allocation per candidate pair.
-    def identityClash(id: Long, skip: Int): Boolean = {
-      var j = 0
-      while (j < merged.length) {
-        if (j != skip) {
-          val b = merged(j)
-          if (b.aggId >= 0) { if (b.aggId == id) return true }
-          else if (b.evs.exists(_.idx == id)) return true
-        }
-        j += 1
-      }
-      false
-    }
-    var i = 0
-    while (i < merged.length) {
-      val b = merged(i)
-      if (b.aggId >= 0) {
-        if (identityClash(b.aggId, i)) return false
-      } else {
-        var es = b.evs
+    // cross-side duplicate-identity rejection (bind lists are tiny: nested scans beat
+    // HashSet allocation per candidate pair)
+    def bindsClash(x: Bind, y: Bind): Boolean = {
+      if (x.aggId >= 0 && y.aggId >= 0) x.aggId == y.aggId
+      else if (x.aggId >= 0) y.evs.exists(_.idx == x.aggId)
+      else if (y.aggId >= 0) x.evs.exists(_.idx == y.aggId)
+      else {
+        var es = x.evs
         while (es.nonEmpty) {
-          if (identityClash(es.head.idx, i)) return false
+          val id = es.head.idx
+          var os = y.evs
+          while (os.nonEmpty) {
+            if (os.head.idx == id) return true
+            os = os.tail
+          }
           es = es.tail
         }
+        false
+      }
+    }
+    i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) {
+        if (bindsClash(a(i), b(j))) return false
+        j += 1
       }
       i += 1
     }
-    evalConds(nodeId, merged)
+    val fs = condsByNodePair(nodeId)
+    i = 0
+    while (i < fs.length) {
+      if (!fs(i)(a, b)) return false
+      i += 1
+    }
+    true
   }
 
   private def evalConds(nodeId: Int, binds: Vector[Bind]): Boolean = {
@@ -883,35 +1007,6 @@ final class PatternRuntime(val cp: CompiledPattern, out: ArrayBuffer[CepMatch],
       if (c < 0 || (upper && c == 0)) lo = mid + 1 else hi = mid
     }
     lo
-  }
-
-  /** Candidates in `other` (sorted by its side's key) that can satisfy the probe plan's
-    * relop against `pm`. A prefilter only — every candidate still goes through valid(). */
-  private def probeRange(other: ArrayBuffer[PM], pm: PM, plan: statics.ProbePlan,
-                         fromLeft: Boolean): Array[PM] = {
-    val v = if (fromLeft) plan.leftKey(pm) else plan.rightKey(pm)
-    val keyO = if (fromLeft) plan.rightKey else plan.leftKey
-    // Probing right from left wants {w : op(v, w)}; probing left from right wants
-    // {u : op(u, v)} = {u : swap(op)(v, u)} — one table with the op swapped.
-    val eff = if (fromLeft) plan.op else RelOp.swap(plan.op)
-    val len = other.length
-    def slice(from: Int, until: Int): Array[PM] = {
-      if (from >= until) return Array.empty
-      val r = new Array[PM](until - from)
-      var i = from
-      while (i < until) { r(i - from) = other(i); i += 1 }
-      r
-    }
-    eff match {
-      case RelOp.EQ => slice(bound(other, keyO, v, upper = false), bound(other, keyO, v, upper = true))
-      case RelOp.LT => slice(bound(other, keyO, v, upper = true), len)
-      case RelOp.LE => slice(bound(other, keyO, v, upper = false), len)
-      case RelOp.GT => slice(0, bound(other, keyO, v, upper = false))
-      case RelOp.GE => slice(0, bound(other, keyO, v, upper = true))
-      case RelOp.NE =>
-        slice(0, bound(other, keyO, v, upper = false)) ++
-          slice(bound(other, keyO, v, upper = true), len)
-    }
   }
 
   // ---- state snapshot ----------------------------------------------------------------

@@ -80,22 +80,42 @@ object Multimodal {
   /** Frame sampling for "video" rows: emit one row per sampled frame (every `stride`-th),
     * with a per-frame fingerprint — the explode-shaped half of a video pipeline.
     * The fingerprint is md5(payload)-derived (not JVM hashCode) so an external engine can
-    * replicate it — this is what makes the driver's DuckDB oracle possible. */
+    * replicate it — this is what makes the driver's DuckDB oracle possible.
+    *
+    * Pure Catalyst since round 6: sha, frame count and fingerprints are all metadata
+    * derivable from the raw payload bytes (md5 + octet_length), so the row never leaves
+    * Tungsten format and the decoder is not invoked for data the query discards
+    * (guide §1.2: don't compute things you throw away). `OpsSpec` pins the
+    * projection bit-equal to [[decodeStub]]'s sha/frames on the same rows. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
-    import media.sparkSession.implicits._
-    media.filter(_.kind == "video").flatMap { m =>
-      val features = decodeStub(Seq(m)).head
-      (0 until features.frames by stride).map { f =>
-        (m.media_id, f.toLong, s"${features.sha}:$f")
-      }
-    }.toDF("media_id", "frame_no", "frame_fp")
+    val frames = greatest(lit(1), (octet_length(col("payload")) / lit(256)).cast("int"))
+    media.toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"), md5(col("payload")).as("sha"),
+        explode(sequence(lit(0L), (frames - 1).cast("long"), lit(stride.toLong))).as("frame_no"))
+      .select(col("media_id"), col("frame_no"),
+        concat(col("sha"), lit(":"), col("frame_no")).as("frame_fp"))
   }
 
-  /** Oracle-friendly projection (metadata only — the stub features are JVM-side). */
+  /** Metadata summary as a pure Catalyst projection: media_id, kind, n_bytes, sha,
+    * frames. Every column is payload METADATA (md5 / octet_length / arithmetic), so no
+    * decode and no typed-object round trip — the old route through [[extractFeatures]]
+    * deserialized each row to a case class, ran the stub feature loop and discarded the
+    * features. Bit-equality with the stub's sha/frames is pinned by `OpsSpec`. */
+  def mediaSummary(media: Dataset[MediaRow]): DataFrame =
+    media.toDF().select(
+      col("media_id"), col("kind"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("sha"),
+      greatest(lit(1), (octet_length(col("payload")) / lit(256)).cast("int")).as("frames"))
+
+  /** Oracle-friendly projection (metadata only — no decode needed). */
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
-    extractFeatures(mediaTable(spark, sfDir)).toDF()
+    mediaSummary(mediaTable(spark, sfDir))
       .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"))
 
+  /** Full feature rows (embedding included) — the decode path. Callers that only need
+    * metadata should use [[mediaSummary]]/[[mediaMeta]], which skip the decoder. */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaTable(spark, sfDir)).toDF()
 }

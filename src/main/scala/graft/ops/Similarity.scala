@@ -96,6 +96,9 @@ object Similarity {
     e.select(col("vec_id"), col("v"), col("norm"),
       explode(array((0 until nTables).map(t => struct(lit(t).as("t"), bucketCol(t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("norm"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      // both consumers self-join this frame: cache so the norm + nTables*planesPerTable
+      // plane projections run once, not once per join side
+      .cache()
   }
 
   def lshTop1(vectors: DataFrame, nTables: Int, planesPerTable: Int): DataFrame = {
@@ -135,7 +138,11 @@ object Similarity {
     val spark = vectors.sparkSession
     VectorFunctions.register(spark)
     import spark.implicits._
-    val e = vectors.select(col("vec_id"), col("v"))
+    // One materialization instead of 2+2*iters scans: the seed collect, each training
+    // round's assignment pass, the inverted file and the probe projection all re-read
+    // this frame (at production scale training runs on a bounded sample — see scaladoc —
+    // so the cached frame is the sample, not the corpus).
+    val e = vectors.select(col("vec_id"), col("v")).cache()
 
     /** Add `srt`: (dist, k) structs sorted ascending. dist = |c|^2 - 2<v,c> (the common
       * |v|^2 term cannot change the per-row ranking and is dropped on both engines). */

@@ -22,6 +22,18 @@ class OpsSpec extends AnyFunSuite {
       again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
   }
 
+  test("multimodal: Catalyst metadata projection is bit-equal to the stub decoder") {
+    // mediaSummary/sampleFrames compute sha/frames/n_bytes as pure Catalyst metadata;
+    // this pins them to decodeStub's values so swapping the decode out of the metadata
+    // queries (a round-6 optimization) can never drift from the decoder's contract
+    val media = Multimodal.mediaTable(spark, sf)
+    val stub = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> ((f.kind, f.n_bytes, f.sha, f.frames))).toMap
+    val summary = Multimodal.mediaSummary(media).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3), r.getInt(4)))).toMap
+    assert(summary == stub)
+  }
+
   test("multimodal: frame sampling emits stride-spaced frames for video rows") {
     val media = Multimodal.mediaTable(spark, sf)
     val frames = Multimodal.sampleFrames(media, stride = 4).collect()

@@ -23,6 +23,23 @@ object BatchEvaluator {
     Ev(r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4),
       r.getString(5), r.getString(6), r.getDouble(7))
 
+  /** Event-type column as a small int DISPATCH CODE over the pattern set's relevant types
+    * (guide §2.3, narrower types): an UnsafeRow string field costs 8 B offset/len plus the
+    * padded bytes (16-24 B for typical type names) on every shuffled + sorted row, where
+    * the int code costs its fixed 8 B slot. Decoding maps the code back to ONE canonical
+    * String instance per type ([[rowToEvCoded]]), so the engine's per-event dispatch
+    * lookup hits identity-equal keys with cached hashCodes instead of allocating a fresh
+    * String per row. The relevant-type filter runs before this projection, so every row
+    * matches exactly one code. */
+  private[spark] def etypeCode(types: Array[String]): org.apache.spark.sql.Column =
+    types.zipWithIndex.foldLeft(lit(-1)) { case (acc, (t, i)) =>
+      when(col("etype") === t, lit(i)).otherwise(acc)
+    }
+
+  private[spark] def rowToEvCoded(r: org.apache.spark.sql.Row, types: Array[String]): Ev =
+    Ev(r.getString(0), r.getLong(1), types(r.getInt(2)), r.getLong(3), r.getDouble(4),
+      r.getString(5), r.getString(6), r.getDouble(7))
+
   /** Evaluate patterns over a typed event dataset. The relevant-type filter is applied as a
     * Catalyst predicate BEFORE the shuffle so it reaches the parquet scan (pushdown).
     *
@@ -47,10 +64,12 @@ object BatchEvaluator {
     val spark = events.sparkSession
     import spark.implicits._
     val types = compiled.flatMap(_.relevantTypes).distinct
+    val typeArr = types.toArray
     events
       .filter(col("etype").isin(types: _*))
       .toDF()
-      .select(EvCols.map(col) :+ xxhash64(col("key")).as("khash"): _*)
+      .select(col("key"), col("idx"), etypeCode(typeArr).as("etype"), col("ts"),
+        col("num"), col("s1"), col("s2"), col("prob"), xxhash64(col("key")).as("khash"))
       .repartition(col("key"))
       // Leading with the key's 64-bit hash makes the sort's 8-byte prefix comparison
       // decisive for (almost) every cross-key pair — the raw conv-id strings share long
@@ -73,7 +92,7 @@ object BatchEvaluator {
                 curKey = k
                 engine = new MatchEngine(compiled, sortedStorage = sortedStorage)
               }
-              engine.feedEach(rowToEv(r))(sink)
+              engine.feedEach(rowToEvCoded(r, typeArr))(sink)
             }
             if (buf.isEmpty && engine != null) { buf ++= engine.finish(); engine = null }
           }

@@ -182,12 +182,18 @@ object Rip {
     requireSaltable(patterns, paneMicros)
     val window = patterns.map(_.windowMicros).max
     val compiled = patterns.flatMap(Compiler.compile).toIndexedSeq
+    val typeArr = compiled.flatMap(_.relevantTypes).distinct.toArray
     val panes: Column = paneArray(compiled, window, paneMicros, hotKeys)
     filtered
       .toDF()
       .select(BatchEvaluator.EvCols.map(col): _*)
       .withColumn("pane", explode(panes))
-      .withColumn("khash", xxhash64(col("key"), col("pane")))
+      // pane expressions read the etype STRING (negative-type replication); swap it for
+      // the int dispatch code only now, in the projection feeding the exchange
+      // (see BatchEvaluator.etypeCode — narrower shuffle/sort rows, canonical decode)
+      .select(col("key"), col("idx"), BatchEvaluator.etypeCode(typeArr).as("etype"),
+        col("ts"), col("num"), col("s1"), col("s2"), col("prob"), col("pane"),
+        xxhash64(col("key"), col("pane")).as("khash"))
       .repartition(col("key"), col("pane"))
       // hash-led sort: see BatchEvaluator.evaluate — prefix-decisive cross-group compares
       .sortWithinPartitions("khash", "key", "pane", "ts", "idx")
@@ -219,7 +225,7 @@ object Rip {
                 else { lo = pn * paneMicros; hi = lo + paneMicros }
                 engine = new MatchEngine(compiled)
               }
-              engine.feedEach(BatchEvaluator.rowToEv(r))(ownSink)
+              engine.feedEach(BatchEvaluator.rowToEvCoded(r, typeArr))(ownSink)
             }
             if (buf.isEmpty && engine != null) { owned(engine.finish()); engine = null }
           }

@@ -243,7 +243,13 @@ object Dedup {
       rounds += 1
       val step =
         if (rounds % checkpointEvery == 0) {
-          if (sc.getCheckpointDir.isDefined) next.checkpoint() else next.localCheckpoint()
+          // Reliable checkpoint stays EAGER (its write pass is a separate job anyway and
+          // the recovery story wants it on disk before the round is declared done). The
+          // local path is LAZY: the convergence read below materializes + persists the
+          // round frame in ONE job — the old eager localCheckpoint ran a materialization
+          // job and then a second job for the sum, doubling every round's job count.
+          if (sc.getCheckpointDir.isDefined) next.checkpoint()
+          else next.localCheckpoint(eager = false)
         } else next.cache()
       changed = step.agg(sum("chg")).first().getLong(0) // the round's convergence read
       cached.unpersist()

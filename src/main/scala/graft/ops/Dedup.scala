@@ -84,44 +84,53 @@ object Dedup {
     // exploded (doc_id, gram) frame the old code cached. Recompute-vs-spill is the trade:
     // at corpus scale prefer spill (regex shingling is the most expensive map stage here).
     val docsArr = shingleArrays(spark, sfDir).cache()
-    // n_grams per doc needs NO aggregation: it is the cached array's size (the old
-    // groupBy(doc_id).count() paid a full shuffle for a per-row fact).
-    val sizes = docsArr.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
-    val sh = docsArr.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val common =
-      if (dfMax == Long.MaxValue) {
-        // Uncapped path: the per-gram doc list is unbounded (a corpus-frequent gram would
-        // blow a collect_list buffer), so candidate pairs come from the self-equi-join.
-        sh.as("x").join(sh.as("y"),
-            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("n_common"))
-      } else {
-        // Capped path: df <= dfMax bounds the per-gram doc list, so pairs are generated
-        // IN-STAGE from one grouped doc list per gram (sorted ascending -> a_id < b_id)
-        // instead of a second self-join shuffle of the shingle frame; the pair stream is
-        // then partially aggregated map-side before its one exchange (guide §2.3-2.4).
-        // The df pre-pass stays a separate count + semi-join (NOT collect-then-filter):
-        // collect_list on an uncapped gram group is exactly the unbounded buffer the old
-        // code avoided, and the count aggregate is map-side-partial everywhere.
-        val rare = sh.groupBy("gram").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= dfMax).select("gram")
-        sh.join(rare, "gram")
-          .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          // pair expansion as TWO codegen'd generators (posexplode the anchor, explode
-          // the suffix slice) — a nested transform-into-structs spelling of the same
-          // pairs ran ~1.5x slower through the interpreted higher-order-function path
-          .select(posexplode(col("ds")).as(Seq("i", "a_id")), col("ds"))
-          .select(col("a_id"),
-            explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b_id"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-      }
-    common
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "a_n"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "b_n"), "b_id")
-      .withColumn("n_union", col("a_n") + col("b_n") - col("n_common"))
-      .filter(col("n_common").cast("double") / col("n_union").cast("double") >= minSim)
-      .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"))
+    if (dfMax == Long.MaxValue) {
+      // Uncapped path: the per-gram doc list is unbounded (a corpus-frequent gram would
+      // blow a collect_list buffer), so candidate pairs come from the self-equi-join.
+      // n_grams per doc needs NO aggregation: it is the cached array's size (the old
+      // groupBy(doc_id).count() paid a full shuffle for a per-row fact).
+      val sizes = docsArr.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      val sh = docsArr.select(col("doc_id"), explode(col("grams")).as("gram"))
+      sh.as("x").join(sh.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "a_n"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "b_n"), "b_id")
+        .withColumn("n_union", col("a_n") + col("b_n") - col("n_common"))
+        .filter(col("n_common").cast("double") / col("n_union").cast("double") >= minSim)
+        .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"))
+    } else {
+      // Capped path: df <= dfMax bounds the per-gram doc list, so pairs are generated
+      // IN-STAGE from one grouped doc list per gram (sorted ascending -> a_id < b_id)
+      // instead of a second self-join shuffle of the shingle frame; the pair stream is
+      // then partially aggregated map-side before its one exchange (guide §2.3-2.4).
+      // The df pre-pass stays a separate count + semi-join (NOT collect-then-filter):
+      // collect_list on an uncapped gram group is exactly the unbounded buffer the old
+      // code avoided, and the count aggregate is map-side-partial everywhere.
+      // Each doc's gram COUNT rides the grouped (doc_id, n) structs through the pair
+      // stream, so the Jaccard denominator needs no size joins at the end — the old two
+      // doc-table attach joins (broadcast locally, but a corpus-wide doc table at 100 TB
+      // broadcasts nothing and would re-shuffle the pair stream twice) are gone
+      // (guide §2.3: shuffle keys and metadata together, §8: carry the proxy's decisions).
+      val shN = docsArr.select(col("doc_id"), size(col("grams")).cast("long").as("n"),
+        explode(col("grams")).as("gram"))
+      val rare = shN.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfMax).select("gram")
+      shN.join(rare, "gram")
+        .groupBy("gram").agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+        // pair expansion as TWO codegen'd generators (posexplode the anchor, explode
+        // the suffix slice) — a nested transform-into-structs spelling of the same
+        // pairs ran ~1.5x slower through the interpreted higher-order-function path
+        .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+        .select(col("a"), explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.n").as("a_n"), col("b.n").as("b_n"))
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("n_union", col("a_n") + col("b_n") - col("n_common"))
+        .filter(col("n_common").cast("double") / col("n_union").cast("double") >= minSim)
+        .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"))
+    }
   }
 
   /** Deterministic 64-bit polynomial hash of a string (FNV-1a); used for MinHash/SimHash
@@ -168,9 +177,16 @@ object Dedup {
     val docsArr = shingleArrays(spark, sfDir).cache()
     val sh = docsArr.select(col("doc_id"), explode(col("grams")).as("gram"))
     val sigs = minhashSigs(sh)
+    // Cache the band frame: the candidate self-join reads it twice, and the build side's
+    // BroadcastExchange does not match the probe side's shuffle Exchange, so ReuseExchange
+    // never fires — without the cache the ENTIRE signature pipeline (shingle explode,
+    // FNV-1a, 32-lane min aggregate, band slicing) executed once per join side. The frame
+    // is 8 narrow rows per doc (doc_id, band, 4-long slice) — strictly smaller than the
+    // shingle frame already cached above (guide §5: reuse + recompute cost justify it).
     val bands = sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(7)), b => slice(col("sig"), b * lit(4) + lit(1), lit(4)))))
       .toDF("doc_id", "band", "bucket")
+      .cache()
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -225,8 +241,18 @@ object Dedup {
     // No .distinct() on edges: duplicate edges cannot change a min() aggregate, so the
     // dedup shuffle bought nothing (pairs from minhashLshPairs are unique anyway, and a
     // caller's duplicates only add rows to the per-round join, never wrong labels).
-    val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
-      .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+    // Both directions come from ONE explode of each pair row — the old
+    // `pairs.union(pairs.swapped)` planned the pairs SUBTREE twice, so the entire
+    // upstream pipeline (for the driver query: the minhash candidate + verify chain)
+    // executed once per union branch inside the cache materialization (guide §2.4).
+    // The cache is pre-partitioned by `y`, the side every round's join probes: the
+    // cached layout satisfies the join's distribution requirement, so no round
+    // re-shuffles the edge frame.
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("x"), col("b_id").as("y")),
+        struct(col("b_id").as("x"), col("a_id").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .repartition(col("y"))
       .cache()
     var cached: DataFrame = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id")).cache()
@@ -234,14 +260,23 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val neighborMin = edges
+      // One aggregate per round: each node's new label is min(own, neighbors') — spelled
+      // as a union of self rows (carrying the old label) and neighbor contributions,
+      // grouped once by id. The old spelling (neighbor groupBy + left join back onto
+      // labels) paid a second join and a third exchange per round for the same result;
+      // here the only per-round exchange is the final groupBy (the labels side of the
+      // join arrives hash-partitioned by id from the previous round's checkpoint, the
+      // edges side from the pre-partitioned cache). `max(old)` is exact: every group has
+      // exactly one self row (ids are distinct), contributions carry null.
+      val contrib = edges
         .join(labels.select(col("id").as("y"), col("label").as("nl")), "y")
-        .groupBy(col("x").as("id")).agg(min("nl").as("nmin"))
+        .select(col("x").as("id"), col("nl").as("label"), lit(null).cast("long").as("old"))
       val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).cast("long").as("chg"))
+        .select(col("id"), col("label"), col("label").as("old"))
+        .union(contrib)
+        .groupBy("id")
+        .agg(min("label").as("label"), max("old").as("old"))
+        .select(col("id"), col("label"), (col("label") < col("old")).cast("long").as("chg"))
       rounds += 1
       val step =
         if (rounds % checkpointEvery == 0) {
@@ -288,8 +323,13 @@ object Dedup {
     val quarters = array((0 until 4).map(q => struct(
       lit(q).as("q"),
       shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xffffL)).as("quarter"))): _*)
+    // Cached for the same reason as minhashLshPairs' band frame: the self-join's broadcast
+    // build side cannot reuse the probe side's shuffle exchange, so without the cache the
+    // full signature pipeline (shingle explode, FNV-1a, simhash_agg) ran once per side.
+    // 4 rows per doc of 4 fixed-width fields.
     val blocks = sigs.select(col("doc_id"), col("sig"), explode(quarters).as("qq"))
       .select(col("doc_id"), col("sig"), col("qq.q").as("q"), col("qq.quarter").as("quarter"))
+      .cache()
     blocks.as("x").join(blocks.as("y"),
         col("x.q") === col("y.q") && col("x.quarter") === col("y.quarter") &&
           col("x.doc_id") < col("y.doc_id"))

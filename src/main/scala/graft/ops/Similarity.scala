@@ -185,10 +185,21 @@ object Similarity {
       centroids = next
     }
 
-    val inv = withNorm(assigned(centroids)) // cluster-id "cl" per vector + norm
-    val probes = withDists(withNorm(e), centroids)
+    // ONE distance projection for the search stage: the inverted file (argmin cluster)
+    // and the probe list (top-nProbe clusters) both read the same sorted (dist, k)
+    // array, so deriving them from one cached frame halves the 8x64-literal centroid
+    // expression tree (the plan's dominant analysis/codegen cost at small SF) and runs
+    // the per-row distance arithmetic once instead of once per join side — the join's
+    // broadcast build side cannot reuse the probe side's exchange (same reason the
+    // dedup signature frames are cached).
+    val searched = withDists(withNorm(e), centroids)
       .select(col("vec_id"), col("v"), col("norm"),
-        explode(transform(slice(col("srt"), 1, nProbe), s => s.getField("k"))).as("pk"))
+        element_at(col("srt"), 1).getField("k").as("cl"),
+        transform(slice(col("srt"), 1, nProbe), s => s.getField("k")).as("pks"))
+      .cache()
+    val inv = searched.select(col("vec_id"), col("v"), col("norm"), col("cl"))
+    val probes = searched.select(col("vec_id"), col("v"), col("norm"),
+      explode(col("pks")).as("pk"))
     val sims = probes.as("a").join(inv.as("b"),
         col("a.pk") === col("b.cl") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),

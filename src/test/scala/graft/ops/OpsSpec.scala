@@ -125,6 +125,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got == (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("dedup: duplicate and reversed duplicate edges leave cluster labels unchanged") {
+    import spark.implicits._
+    // the round aggregate relies on every id contributing exactly ONE self row (max(old)
+    // recovers the previous label from it); duplicated and direction-flipped pair rows
+    // must only add neighbor contributions, never a second self row or a wrong min
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("dedup: minhash LSH pairs are exactly the >=0.4-Jaccard pairs it verifies") {
     val viaLsh = Dedup.minhashLshPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
